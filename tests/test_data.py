@@ -1,0 +1,151 @@
+"""Data pipeline tests: triplet builder determinism, batching, GloVe table."""
+
+import numpy as np
+import pytest
+
+from twotowermlretrieval_tpu.data.batching import Batch, TripletBatcher, tokenize_corpus
+from twotowermlretrieval_tpu.data.glove import load_embedding_table, parse_glove_txt
+from twotowermlretrieval_tpu.data.loader import TripletBuilder, _split_seed
+from twotowermlretrieval_tpu.tokenizer import Tokenizer
+
+
+def test_split_seeds_match_reference():
+    # ref data_loader.py:22-27 — seed chosen by path substring
+    assert _split_seed("data/ms_marco_train.parquet") == 42
+    assert _split_seed("data/ms_marco_validation.parquet") == 123
+    assert _split_seed("data/ms_marco_test.parquet") == 456
+
+
+def test_triplet_builder_deterministic(synth_config):
+    b1 = TripletBuilder(synth_config).load_datasets(subsample_ratio=0.5)
+    b2 = TripletBuilder(synth_config).load_datasets(subsample_ratio=0.5)
+    assert b1["train"] == b2["train"]
+    assert b1["validation"] == b2["validation"]
+    assert len(b1["train"]) > 0
+
+
+def test_triplet_negative_from_other_query(synth_config):
+    data = TripletBuilder(synth_config).load_datasets()["train"]
+    for query, pos, neg in data[:50]:
+        assert isinstance(query, str) and isinstance(pos, str) and isinstance(neg, str)
+        assert pos != ""  # positives come from the query's own passages
+    # retrieval mode: one triplet per query by default
+    assert len(data) > 0
+
+
+def test_ranking_mode(synth_config):
+    cfg = synth_config.replace(training_mode="ranking")
+    data = TripletBuilder(cfg).load_datasets()["train"]
+    assert len(data) > 0
+    # In the synthetic corpus, passage 0 is is_selected=1 — so the positive
+    # of each triplet must be its query's first passage.
+    import pandas as pd
+
+    df = pd.read_parquet(cfg.train_dataset_path)
+    first_passages = {row["query"]: row["passages.passage_text"][0] for _, row in df.iterrows()}
+    for query, pos, neg in data:
+        assert pos == first_passages[query]
+
+
+def test_error_isolation(synth_config):
+    cfg = synth_config.replace(train_dataset_path="/nonexistent.parquet")
+    data = TripletBuilder(cfg).load_datasets()
+    assert data["train"] == []  # failed split -> [] (ref data_loader.py:113-118)
+    assert len(data["validation"]) > 0
+
+
+def test_accepts_raw_reference_dict(synth_config):
+    raw = {
+        "TRAIN_DATASET_PATH": synth_config.train_dataset_path,
+        "VAL_DATASET_PATH": synth_config.val_dataset_path,
+        "TEST_DATASET_PATH": synth_config.test_dataset_path,
+        "NUM_TRIPLETS_PER_QUERY": 1,
+        "TRAINING_MODE": "retrieval",
+    }
+    data = TripletBuilder(raw).load_datasets()
+    assert len(data["train"]) > 0
+
+
+# --- batching ---------------------------------------------------------------
+
+
+@pytest.fixture
+def tok():
+    return Tokenizer({f"w{i}": i for i in range(100)})
+
+
+def _triplets(n):
+    return [(f"w{i % 50} w{(i+1) % 50}", f"w{i % 50} w{i % 50} w3", f"w{(i+7) % 50}") for i in range(n)]
+
+
+def test_batcher_static_shapes(tok):
+    batcher = TripletBatcher(_triplets(37), tok, batch_size=16, max_query_len=8, max_doc_len=12)
+    batches = list(batcher.batches(seed=0))
+    assert len(batches) == 3 == len(batcher)
+    for b in batches:
+        assert b.q_tokens.shape == (16, 8)
+        assert b.pos_tokens.shape == (16, 12)
+        assert b.neg_tokens.shape == (16, 12)
+        assert b.example_mask.shape == (16,)
+    # last batch: 37 - 32 = 5 real rows
+    assert batches[-1].example_mask.sum() == 5
+    assert batches[0].example_mask.sum() == 16
+
+
+def test_batcher_shuffle_determinism(tok):
+    batcher = TripletBatcher(_triplets(64), tok, batch_size=16, max_query_len=8, max_doc_len=12)
+    a = [b.q_tokens for b in batcher.batches(seed=7)]
+    b = [b.q_tokens for b in batcher.batches(seed=7)]
+    c = [b.q_tokens for b in batcher.batches(seed=8)]
+    assert all((x == y).all() for x, y in zip(a, b))
+    assert any((x != y).any() for x, y in zip(a, c))
+
+
+def test_batcher_covers_all_examples_once(tok):
+    batcher = TripletBatcher(_triplets(40), tok, batch_size=16, max_query_len=8, max_doc_len=12)
+    seen = []
+    for b in batcher.batches(seed=3):
+        real = b.example_mask.astype(bool)
+        seen.extend(b.q_len[real].tolist())
+    assert len(seen) == 40
+
+
+def test_drop_remainder(tok):
+    batcher = TripletBatcher(
+        _triplets(37), tok, batch_size=16, max_query_len=8, max_doc_len=12, drop_remainder=True
+    )
+    assert len(list(batcher.batches(seed=0))) == 2
+
+
+def test_tokenize_corpus_padding(tok):
+    docs = [f"w{i}" for i in range(10)]
+    chunks = list(tokenize_corpus(docs, tok, max_len=4, batch_size=8))
+    assert len(chunks) == 2
+    tokens, lengths, mask = chunks[1]
+    assert tokens.shape == (8, 4)
+    assert mask.sum() == 2
+
+
+# --- glove ------------------------------------------------------------------
+
+
+def test_parse_glove_txt(tmp_path):
+    path = tmp_path / "glove.txt"
+    path.write_text("the 0.1 0.2\ncat 0.3 0.4\n")
+    table, w2i = parse_glove_txt(path)
+    assert table.shape == (2, 2)
+    assert w2i == {"the": 0, "cat": 1}
+    np.testing.assert_allclose(table[1], [0.3, 0.4])
+
+
+def test_load_embedding_table_unk_patch(tmp_path):
+    table = np.ones((5, 4), np.float32)
+    np.save(tmp_path / "emb.npy", table)
+    # vocab one larger (UNK appended) -> extra small random row, seeded
+    out1 = load_embedding_table(tmp_path / "emb.npy", vocab_size=6, seed=1)
+    out2 = load_embedding_table(tmp_path / "emb.npy", vocab_size=6, seed=1)
+    assert out1.shape == (6, 4)
+    np.testing.assert_array_equal(out1, out2)
+    assert np.abs(out1[5]).max() <= 0.1  # scale matches ref backend/main.py:180
+    with pytest.raises(ValueError):
+        load_embedding_table(tmp_path / "emb.npy", vocab_size=3)

@@ -1,0 +1,150 @@
+"""Static-shape batching + host->device prefetch for triplet training.
+
+Replaces the reference's torch ``TripletDataset``/``collate_fn``/``DataLoader``
+stack (ref: backend/main.py:33-56, 203-219) with a jit-friendly design:
+
+- The whole split is tokenized **once** into fixed-width int32 arrays
+  (the reference re-tokenizes lazily per epoch in ``__getitem__``,
+  backend/main.py:42-48 — wasted host work every epoch).
+- Every batch has identical shapes ``[B, max_len]`` — no per-batch dynamic
+  padding (backend/main.py:50-56), so XLA compiles the train step exactly
+  once. The final partial batch is padded with repeated rows and an explicit
+  ``example_mask`` so weighted losses/metrics stay exact (torch keeps a
+  ragged final batch instead).
+- Explicit ``lengths`` channel instead of the pad-id-0 sentinel
+  (see tokenizer.py docstring; ref bug: model.py:52 treats GloVe word id 0
+  as padding).
+- A small lookahead prefetcher overlaps host slicing + H2D transfer with
+  device compute (the torch analogue is ``num_workers=2``,
+  backend/main.py:206-212).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from twotowermlretrieval_tpu.tokenizer import Tokenizer
+
+Triplet = Tuple[str, str, str]
+
+
+class Batch(NamedTuple):
+    """One static-shape training batch (numpy on host, jax on device)."""
+
+    q_tokens: np.ndarray  # int32 [B, Lq]
+    q_len: np.ndarray  # int32 [B]
+    pos_tokens: np.ndarray  # int32 [B, Ld]
+    pos_len: np.ndarray  # int32 [B]
+    neg_tokens: np.ndarray  # int32 [B, Ld]
+    neg_len: np.ndarray  # int32 [B]
+    example_mask: np.ndarray  # float32 [B] — 0 for repeated padding rows
+
+
+class TripletBatcher:
+    """Pre-tokenized, shuffled, fixed-shape batch source."""
+
+    def __init__(
+        self,
+        triplets: Sequence[Triplet],
+        tokenizer: Tokenizer,
+        batch_size: int,
+        max_query_len: int = 32,
+        max_doc_len: int = 128,
+        drop_remainder: bool = False,
+    ):
+        self.batch_size = int(batch_size)
+        self.drop_remainder = drop_remainder
+        self.num_examples = len(triplets)
+
+        queries = [t[0] for t in triplets]
+        positives = [t[1] for t in triplets]
+        negatives = [t[2] for t in triplets]
+        self.q_tokens, self.q_len = tokenizer.encode_batch(queries, max_query_len)
+        self.pos_tokens, self.pos_len = tokenizer.encode_batch(positives, max_doc_len)
+        self.neg_tokens, self.neg_len = tokenizer.encode_batch(negatives, max_doc_len)
+
+    def __len__(self) -> int:
+        if self.drop_remainder:
+            return self.num_examples // self.batch_size
+        return -(-self.num_examples // self.batch_size)
+
+    def batches(self, seed: Optional[int] = None) -> Iterator[Batch]:
+        """Yield batches; ``seed`` given -> shuffled (train), None -> in
+        order (eval), mirroring the reference's shuffle=True/False loaders
+        (backend/main.py:206-219)."""
+        order = np.arange(self.num_examples)
+        if seed is not None:
+            np.random.default_rng(seed).shuffle(order)
+
+        B = self.batch_size
+        num_full = self.num_examples // B
+        for b in range(num_full):
+            idx = order[b * B : (b + 1) * B]
+            yield self._gather(idx, np.ones(B, np.float32))
+
+        rem = self.num_examples - num_full * B
+        if rem and not self.drop_remainder:
+            idx = order[num_full * B :]
+            # Pad to full width with repeats of the first remainder row;
+            # example_mask zeroes their loss/metric contribution.
+            pad = np.full(B - rem, idx[0], dtype=idx.dtype)
+            mask = np.concatenate([np.ones(rem, np.float32), np.zeros(B - rem, np.float32)])
+            yield self._gather(np.concatenate([idx, pad]), mask)
+
+    def _gather(self, idx: np.ndarray, mask: np.ndarray) -> Batch:
+        return Batch(
+            q_tokens=self.q_tokens[idx],
+            q_len=self.q_len[idx],
+            pos_tokens=self.pos_tokens[idx],
+            pos_len=self.pos_len[idx],
+            neg_tokens=self.neg_tokens[idx],
+            neg_len=self.neg_len[idx],
+            example_mask=mask,
+        )
+
+
+def prefetch_to_device(iterator: Iterator[Batch], size: int = 2, sharding=None):
+    """Overlap host batch prep + H2D copies with device compute.
+
+    Keeps ``size`` batches in flight via ``jax.device_put`` (async under the
+    hood). With a ``NamedSharding`` this also performs the batch-split across
+    the 'data' mesh axis. TPU-native analogue of torch's worker prefetch
+    (ref: backend/main.py:206-212).
+    """
+    import collections
+
+    import jax
+
+    queue: collections.deque = collections.deque()
+
+    def put(batch: Batch):
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
+def tokenize_corpus(
+    documents: Sequence[str], tokenizer: Tokenizer, max_len: int, batch_size: int = 256
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Fixed-shape document batches for corpus encoding (artifact export /
+    evaluators). Yields (tokens [B, L], lengths [B], mask [B]) with the final
+    batch repeat-padded, mirroring the export loop at ref backend/main.py:125-133
+    but with static shapes."""
+    n = len(documents)
+    for start in range(0, n, batch_size):
+        chunk = list(documents[start : start + batch_size])
+        real = len(chunk)
+        while len(chunk) < batch_size:
+            chunk.append(chunk[0])
+        tokens, lengths = tokenizer.encode_batch(chunk, max_len)
+        mask = (np.arange(batch_size) < real).astype(np.float32)
+        yield tokens, lengths, mask
