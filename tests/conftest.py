@@ -4,20 +4,29 @@ Multi-chip TPU hardware is unavailable in CI; the standard JAX substitute is
 a host-platform device-count override, which lets every sharding/collective
 test run the real GSPMD paths on 8 virtual devices (SURVEY.md §4).
 
-Must run before jax is imported anywhere.
+Note: this environment's sitecustomize registers an 'axon' TPU backend at
+interpreter start and pins JAX_PLATFORMS=axon, so plain env vars are too
+late — we must use jax.config.update (effective until the first backend
+client is created). XLA_FLAGS is still honored lazily at CPU-client init.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture(scope="session")

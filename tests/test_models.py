@@ -1,0 +1,330 @@
+"""Model numerics tests.
+
+The key oracle: our masked-scan encoder must match torch's packed-sequence
+RNN (the reference's exact compute path, ref: backend/model.py:48-75) when
+weights are copied over — validating that masked scan == pack_padded_sequence
+semantics for every cell type and for bidirectionality.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from twotowermlretrieval_tpu.models.losses import (
+    combined_loss,
+    in_batch_softmax_loss,
+    triplet_loss_cosine,
+)
+from twotowermlretrieval_tpu.models.rnn import RNNSpec, init_rnn_encoder, rnn_encode
+from twotowermlretrieval_tpu.models.two_tower import (
+    TwoTowerSpec,
+    encode_document,
+    encode_query,
+    init_two_tower,
+    two_tower_forward,
+)
+
+
+def _spec(**kw):
+    base = dict(
+        vocab_size=50,
+        embed_dim=8,
+        hidden_dim=16,
+        rnn_type="GRU",
+        num_layers=1,
+        dropout=0.0,
+        bidirectional=False,
+        normalize_output=False,
+        compute_dtype="float32",
+    )
+    base.update(kw)
+    return RNNSpec(**base)
+
+
+def _batch(rng, B=4, T=10, vocab=50):
+    tokens = rng.integers(1, vocab, size=(B, T)).astype(np.int32)
+    lengths = rng.integers(1, T + 1, size=(B,)).astype(np.int32)
+    for i, L in enumerate(lengths):
+        tokens[i, L:] = 0
+    return jnp.asarray(tokens), jnp.asarray(lengths)
+
+
+# ---------------------------------------------------------------------------
+# torch parity oracle
+# ---------------------------------------------------------------------------
+
+
+def _torch_encode(params, spec, tokens, lengths):
+    """Run torch's packed-sequence RNN with weights copied from our params."""
+    import torch
+    import torch.nn as nn
+
+    emb = nn.Embedding(spec.vocab_size, spec.embed_dim)
+    emb.weight.data.copy_(torch.from_numpy(np.asarray(params["embedding"])))
+    rnn_cls = getattr(nn, spec.rnn_type if spec.rnn_type != "RNN" else "RNN")
+    rnn = rnn_cls(
+        spec.embed_dim,
+        spec.hidden_dim,
+        num_layers=spec.num_layers,
+        batch_first=True,
+        bidirectional=spec.bidirectional,
+    )
+    dirs = ["", "_reverse"] if spec.bidirectional else [""]
+    for li, layer in enumerate(params["layers"]):
+        for d_name, suffix in zip(("fwd", "bwd"), dirs):
+            p = layer[d_name]
+            # ours: w_ih [I, G*H] (gate-major columns); torch: [G*H, I]
+            getattr(rnn, f"weight_ih_l{li}{suffix}").data.copy_(
+                torch.from_numpy(np.asarray(p["w_ih"]).T)
+            )
+            getattr(rnn, f"weight_hh_l{li}{suffix}").data.copy_(
+                torch.from_numpy(np.asarray(p["w_hh"]).T)
+            )
+            getattr(rnn, f"bias_ih_l{li}{suffix}").data.copy_(
+                torch.from_numpy(np.asarray(p["b_ih"]))
+            )
+            getattr(rnn, f"bias_hh_l{li}{suffix}").data.copy_(
+                torch.from_numpy(np.asarray(p["b_hh"]))
+            )
+
+    x = emb(torch.from_numpy(np.asarray(tokens)).long())
+    packed = nn.utils.rnn.pack_padded_sequence(
+        x, torch.from_numpy(np.asarray(lengths)).long(), batch_first=True, enforce_sorted=False
+    )
+    with torch.no_grad():
+        if spec.rnn_type == "LSTM":
+            _, (h_n, _) = rnn(packed)
+        else:
+            _, h_n = rnn(packed)
+    if spec.bidirectional:
+        hidden = torch.cat([h_n[-2], h_n[-1]], dim=1)
+        proj = params["projection"]
+        w = torch.from_numpy(np.asarray(proj["w"]))
+        b = torch.from_numpy(np.asarray(proj["b"]))
+        hidden = hidden @ w + b
+    else:
+        hidden = h_n[-1]
+    return hidden.numpy()
+
+
+@pytest.mark.parametrize("rnn_type", ["GRU", "LSTM", "RNN"])
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_masked_scan_matches_torch_packed(rnn_type, bidirectional):
+    spec = _spec(rnn_type=rnn_type, bidirectional=bidirectional, num_layers=2)
+    params = init_rnn_encoder(jax.random.key(0), spec)
+    tokens, lengths = _batch(np.random.default_rng(1))
+    ours = np.asarray(rnn_encode(params, tokens, lengths, spec))
+    theirs = _torch_encode(params, spec, tokens, lengths)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# invariants
+# ---------------------------------------------------------------------------
+
+
+def test_padding_invariance():
+    """Extra padding must not change the encoding (masked-update contract)."""
+    spec = _spec(bidirectional=True, num_layers=2)
+    params = init_rnn_encoder(jax.random.key(0), spec)
+    tokens = jnp.asarray([[3, 7, 9, 0, 0, 0, 0, 0, 0, 0]], dtype=jnp.int32)
+    lengths = jnp.asarray([3], dtype=jnp.int32)
+    short = rnn_encode(params, tokens[:, :4], lengths, spec)
+    long = rnn_encode(params, tokens, lengths, spec)
+    np.testing.assert_allclose(np.asarray(short), np.asarray(long), rtol=1e-5, atol=1e-6)
+
+
+def test_pad_id_zero_is_not_special():
+    """Real token id 0 inside the valid length must affect the output —
+    the reference's (x != 0) length inference bug must not exist here."""
+    spec = _spec()
+    params = init_rnn_encoder(jax.random.key(0), spec)
+    with_zero = rnn_encode(
+        params, jnp.asarray([[5, 0, 7]], jnp.int32), jnp.asarray([3], jnp.int32), spec
+    )
+    without_zero = rnn_encode(
+        params, jnp.asarray([[5, 9, 7]], jnp.int32), jnp.asarray([3], jnp.int32), spec
+    )
+    assert np.abs(np.asarray(with_zero) - np.asarray(without_zero)).max() > 1e-6
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_zero_length_gives_zero_vector(bidirectional):
+    # bidirectional is the hard case: the projection bias must not leak
+    # through the all-zero hidden states
+    spec = _spec(normalize_output=True, bidirectional=bidirectional)
+    params = init_rnn_encoder(jax.random.key(0), spec)
+    out = rnn_encode(
+        params, jnp.zeros((2, 5), jnp.int32), jnp.asarray([0, 3], jnp.int32), spec
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+    assert np.linalg.norm(np.asarray(out[1])) > 0.9
+
+
+def test_normalized_outputs_unit_norm():
+    spec = _spec(normalize_output=True, bidirectional=True)
+    params = init_rnn_encoder(jax.random.key(0), spec)
+    tokens, lengths = _batch(np.random.default_rng(2))
+    out = np.asarray(rnn_encode(params, tokens, lengths, spec))
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+
+def test_dropout_train_vs_eval():
+    spec = _spec(num_layers=2, dropout=0.5)
+    params = init_rnn_encoder(jax.random.key(0), spec)
+    tokens, lengths = _batch(np.random.default_rng(3))
+    eval_out = rnn_encode(params, tokens, lengths, spec, train=False)
+    train_out = rnn_encode(
+        params, tokens, lengths, spec, train=True, dropout_rng=jax.random.key(1)
+    )
+    assert np.abs(np.asarray(eval_out) - np.asarray(train_out)).max() > 1e-6
+    # deterministic given the rng
+    train_out2 = rnn_encode(
+        params, tokens, lengths, spec, train=True, dropout_rng=jax.random.key(1)
+    )
+    np.testing.assert_array_equal(np.asarray(train_out), np.asarray(train_out2))
+    with pytest.raises(ValueError):
+        rnn_encode(params, tokens, lengths, spec, train=True)
+
+
+def test_pretrained_embeddings_copied():
+    spec = _spec()
+    table = np.random.default_rng(0).normal(size=(50, 8)).astype(np.float32)
+    params = init_rnn_encoder(jax.random.key(0), spec, pretrained_embeddings=table)
+    np.testing.assert_array_equal(np.asarray(params["embedding"]), table)
+    with pytest.raises(ValueError):
+        init_rnn_encoder(jax.random.key(0), spec, pretrained_embeddings=table[:, :4])
+
+
+def test_bfloat16_compute_close_to_f32():
+    spec32 = _spec(bidirectional=True)
+    spec16 = _spec(bidirectional=True, compute_dtype="bfloat16")
+    params = init_rnn_encoder(jax.random.key(0), spec32)
+    tokens, lengths = _batch(np.random.default_rng(4))
+    out32 = np.asarray(rnn_encode(params, tokens, lengths, spec32))
+    out16 = np.asarray(rnn_encode(params, tokens, lengths, spec16))
+    assert np.abs(out32 - out16).max() < 0.05
+
+
+# ---------------------------------------------------------------------------
+# two-tower
+# ---------------------------------------------------------------------------
+
+
+def test_two_tower_independent_towers():
+    spec = TwoTowerSpec(tower_type="rnn", rnn=_spec())
+    params = init_two_tower(jax.random.key(0), spec)
+    tokens, lengths = _batch(np.random.default_rng(5))
+    q = np.asarray(encode_query(params, tokens, lengths, spec))
+    d = np.asarray(encode_document(params, tokens, lengths, spec))
+    assert np.abs(q - d).max() > 1e-4  # independently initialized (ref model.py:96-97)
+
+
+def test_two_tower_forward_pair():
+    spec = TwoTowerSpec(tower_type="rnn", rnn=_spec())
+    params = init_two_tower(jax.random.key(0), spec)
+    tokens, lengths = _batch(np.random.default_rng(6))
+    q, d = two_tower_forward(params, tokens, lengths, tokens, lengths, spec)
+    assert q.shape == d.shape == (4, 16)
+
+
+def test_two_tower_jit_compiles_once():
+    spec = TwoTowerSpec(tower_type="rnn", rnn=_spec())
+    params = init_two_tower(jax.random.key(0), spec)
+    fn = jax.jit(encode_query, static_argnames=("spec",))
+    tokens, lengths = _batch(np.random.default_rng(7))
+    out1 = fn(params, tokens, lengths, spec)
+    out2 = fn(params, tokens + 1, lengths, spec)
+    assert out1.shape == out2.shape
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+
+def test_triplet_loss_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(8)
+    q, p, n = (rng.normal(size=(6, 16)).astype(np.float32) for _ in range(3))
+    ours = float(triplet_loss_cosine((jnp.asarray(q), jnp.asarray(p), jnp.asarray(n)), 0.5))
+    tq, tp, tn = map(torch.from_numpy, (q, p, n))
+    theirs = float(
+        torch.clamp(
+            F.cosine_similarity(tq, tn) - F.cosine_similarity(tq, tp) + 0.5, min=0.0
+        ).mean()
+    )
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_triplet_loss_hand_computed():
+    # orthogonal pos, identical neg -> loss = clamp(1 - 0 + margin) = 1 + m
+    q = jnp.asarray([[1.0, 0.0]])
+    pos = jnp.asarray([[0.0, 1.0]])
+    neg = jnp.asarray([[1.0, 0.0]])
+    assert float(triplet_loss_cosine((q, pos, neg), margin=0.2)) == pytest.approx(1.2)
+    # perfect retrieval -> clamp(-1 -1 + m) = 0
+    assert float(triplet_loss_cosine((q, q, -q), margin=0.2)) == pytest.approx(0.0)
+
+
+def test_triplet_loss_weighted_matches_ragged():
+    rng = np.random.default_rng(9)
+    q, p, n = (jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32)) for _ in range(3))
+    w = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 0], jnp.float32)
+    full = triplet_loss_cosine((q[:5], p[:5], n[:5]), 0.5)
+    weighted = triplet_loss_cosine((q, p, n), 0.5, weights=w)
+    assert abs(float(full) - float(weighted)) < 1e-6
+
+
+def test_in_batch_loss_prefers_diagonal():
+    q = jnp.eye(4, dtype=jnp.float32)
+    good = float(in_batch_softmax_loss(q, q, temperature=0.05))
+    perm = q[jnp.asarray([1, 0, 3, 2])]
+    bad = float(in_batch_softmax_loss(q, perm, temperature=0.05))
+    assert good < bad
+
+
+def test_combined_loss_types():
+    rng = np.random.default_rng(10)
+    q, p, n = (jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32)) for _ in range(3))
+    t = combined_loss(q, p, n, "triplet", 0.5, 0.05)
+    ib = combined_loss(q, p, n, "in_batch", 0.5, 0.05)
+    both = combined_loss(q, p, n, "triplet+in_batch", 0.5, 0.05)
+    assert abs(float(both) - float(t) - float(ib)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# transformer tower
+# ---------------------------------------------------------------------------
+
+
+def test_transformer_tower():
+    from twotowermlretrieval_tpu.models.transformer import (
+        TransformerSpec,
+        init_transformer_encoder,
+        transformer_encode,
+    )
+
+    spec = TransformerSpec(
+        vocab_size=50, embed_dim=8, hidden_dim=16, num_layers=2, num_heads=2,
+        ffn_dim=32, compute_dtype="float32", max_len=16,
+    )
+    params = init_transformer_encoder(jax.random.key(0), spec)
+    tokens, lengths = _batch(np.random.default_rng(11))
+    out = np.asarray(transformer_encode(params, tokens, lengths, spec))
+    assert out.shape == (4, 16)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+    # padding invariance
+    t1 = jnp.asarray([[3, 7, 9, 0, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    l1 = jnp.asarray([3], jnp.int32)
+    a = transformer_encode(params, t1[:, :4], l1, spec)
+    b = transformer_encode(params, t1, l1, spec)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    # zero length -> zero vector
+    z = transformer_encode(params, jnp.zeros((1, 10), jnp.int32), jnp.asarray([0], jnp.int32), spec)
+    np.testing.assert_array_equal(np.asarray(z), 0.0)

@@ -1,0 +1,110 @@
+"""Retrieval losses: explicit-triplet (reference) + in-batch contrastive.
+
+``triplet_loss_cosine`` matches the reference exactly
+(ref: backend/model.py:109-114): ``mean(clamp(cos(q,neg) - cos(q,pos) +
+margin, 0))``, plus an optional per-example weight channel so repeat-padded
+batch rows contribute zero (the reference's ragged final batches need no
+such mask).
+
+``in_batch_softmax_loss`` is the TPU-build extension mandated by
+BASELINE.json configs 2-3: every other document in the (optionally
+cross-device, via ``axis_name``) batch is a negative, scored as a softmax
+cross-entropy over ``Q @ D^T / temperature``. With an ``axis_name`` the
+document embeddings are all-gathered over the data mesh axis so every chip
+scores B_global negatives — XLA lowers the gather to ICI collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _cosine(a: jax.Array, b: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Row-wise cosine similarity, matching F.cosine_similarity semantics
+    (eps guard on the norms)."""
+    na = jnp.maximum(jnp.linalg.norm(a, axis=-1), eps)
+    nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), eps)
+    return jnp.sum(a * b, axis=-1) / (na * nb)
+
+
+def triplet_loss_cosine(
+    triplet: Tuple[jax.Array, jax.Array, jax.Array],
+    margin: float = 0.2,
+    weights: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Cosine triplet margin loss (ref: model.py:109-114).
+
+    weights: optional [B] — 0 entries (repeat-padded rows) are excluded from
+    the mean, keeping the value identical to a ragged batch.
+    """
+    query, pos_doc, neg_doc = triplet
+    pos_sim = _cosine(query, pos_doc)
+    neg_sim = _cosine(query, neg_doc)
+    per_example = jnp.maximum(neg_sim - pos_sim + margin, 0.0)
+    if weights is None:
+        return jnp.mean(per_example)
+    denom = jnp.maximum(jnp.sum(weights), 1.0)
+    return jnp.sum(per_example * weights) / denom
+
+
+def in_batch_softmax_loss(
+    query_emb: jax.Array,  # [B, H], assumed L2-normalized
+    doc_emb: jax.Array,  # [B, H]
+    temperature: float = 0.05,
+    weights: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """Softmax contrastive loss with in-batch negatives.
+
+    Positive for query i is document i (the protocol the reference's
+    BatchEvaluator already assumes, ref: evaluators.py:59-65). With
+    ``axis_name`` set (inside shard_map/pjit over a 'data' axis), documents
+    are gathered across chips: the label for local query i on axis-index k
+    becomes ``k * B_local + i``.
+    """
+    B = query_emb.shape[0]
+    if axis_name is not None:
+        all_docs = jax.lax.all_gather(doc_emb, axis_name, tiled=True)  # [B*D, H]
+        offset = jax.lax.axis_index(axis_name) * B
+    else:
+        all_docs = doc_emb
+        offset = 0
+    logits = (
+        jnp.dot(query_emb, all_docs.T, preferred_element_type=jnp.float32) / temperature
+    )  # [B, B_global]
+    labels = jnp.arange(B, dtype=jnp.int32) + offset
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+    if weights is None:
+        return jnp.mean(nll)
+    denom = jnp.maximum(jnp.sum(weights), 1.0)
+    return jnp.sum(nll * weights) / denom
+
+
+def combined_loss(
+    query_emb: jax.Array,
+    pos_emb: jax.Array,
+    neg_emb: jax.Array,
+    loss_type: str,
+    margin: float,
+    temperature: float,
+    weights: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """Loss selected by Config.loss_type.
+
+    'triplet'          — reference loss only
+    'in_batch'         — softmax contrastive only (explicit negatives unused)
+    'triplet+in_batch' — sum of both (explicit hard negative + in-batch)
+    """
+    total = jnp.zeros((), jnp.float32)
+    if loss_type in ("triplet", "triplet+in_batch"):
+        total = total + triplet_loss_cosine((query_emb, pos_emb, neg_emb), margin, weights)
+    if loss_type in ("in_batch", "triplet+in_batch"):
+        total = total + in_batch_softmax_loss(
+            query_emb, pos_emb, temperature, weights, axis_name
+        )
+    return total

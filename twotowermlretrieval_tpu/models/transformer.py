@@ -1,0 +1,189 @@
+"""Transformer encoder towers — the scaling-efficiency configuration.
+
+The reference has no transformer (its towers are GRU, ref: backend/model.py:30-37);
+this is the BASELINE.json config-5 architecture: a pre-LN transformer encoder
+over the same GloVe vocabulary, masked mean-pooled to a [B, H] embedding,
+designed for large-batch multi-host training where the 'model' mesh axis can
+shard attention heads and FFN width.
+
+TPU notes: all shapes static; attention uses a [B, 1, 1, T] additive mask;
+matmuls run in ``compute_dtype`` (bf16) with f32 accumulation; head_dim
+stays a multiple of MXU-friendly sizes when hidden_dim is (128/256/...).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from twotowermlretrieval_tpu.utils.dtypes import matmul_precision
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerSpec:
+    vocab_size: int
+    embed_dim: int
+    hidden_dim: int
+    num_layers: int = 6
+    num_heads: int = 4
+    ffn_dim: int = 1024
+    dropout: float = 0.0
+    normalize_output: bool = True
+    compute_dtype: str = "bfloat16"
+    max_len: int = 512  # learned positional table size
+
+    def __post_init__(self):
+        if self.hidden_dim % self.num_heads != 0:
+            raise ValueError("hidden_dim must divide num_heads")
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    @classmethod
+    def from_config(cls, config) -> "TransformerSpec":
+        return cls(
+            vocab_size=config.vocab_size,
+            embed_dim=config.embed_dim,
+            hidden_dim=config.hidden_dim,
+            num_layers=config.num_layers,
+            num_heads=config.num_heads,
+            ffn_dim=config.ffn_dim,
+            dropout=config.dropout,
+            normalize_output=config.normalize_output,
+            compute_dtype=config.compute_dtype,
+            max_len=max(config.max_doc_len, config.max_query_len),
+        )
+
+
+def _dense_init(key, shape):
+    fan_in = shape[0]
+    return jax.random.normal(key, shape, jnp.float32) * (1.0 / np.sqrt(fan_in))
+
+
+def init_transformer_encoder(
+    rng: jax.Array,
+    spec: TransformerSpec,
+    pretrained_embeddings: Optional[np.ndarray] = None,
+) -> Dict[str, Any]:
+    keys = iter(jax.random.split(rng, 3 + spec.num_layers * 6))
+    if pretrained_embeddings is not None:
+        embedding = jnp.asarray(pretrained_embeddings, jnp.float32)
+        next(keys)
+    else:
+        embedding = jax.random.normal(next(keys), (spec.vocab_size, spec.embed_dim), jnp.float32)
+
+    H = spec.hidden_dim
+    params: Dict[str, Any] = {
+        "embedding": embedding,
+        "input_proj": {"w": _dense_init(next(keys), (spec.embed_dim, H)), "b": jnp.zeros((H,))},
+        "pos_embedding": jax.random.normal(next(keys), (spec.max_len, H), jnp.float32) * 0.02,
+    }
+    blocks = []
+    for _ in range(spec.num_layers):
+        blocks.append(
+            {
+                "ln1": {"scale": jnp.ones((H,)), "bias": jnp.zeros((H,))},
+                "qkv": {"w": _dense_init(next(keys), (H, 3 * H)), "b": jnp.zeros((3 * H,))},
+                "attn_out": {"w": _dense_init(next(keys), (H, H)), "b": jnp.zeros((H,))},
+                "ln2": {"scale": jnp.ones((H,)), "bias": jnp.zeros((H,))},
+                "ffn_in": {"w": _dense_init(next(keys), (H, spec.ffn_dim)), "b": jnp.zeros((spec.ffn_dim,))},
+                "ffn_out": {"w": _dense_init(next(keys), (spec.ffn_dim, H)), "b": jnp.zeros((H,))},
+            }
+        )
+        for _ in range(4):
+            next(keys, None)
+    params["blocks"] = tuple(blocks)
+    params["ln_final"] = {"scale": jnp.ones((H,)), "bias": jnp.zeros((H,))}
+    return params
+
+
+def _layer_norm(x, p, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p, cdt):
+    return (
+        jnp.dot(x.astype(cdt), p["w"].astype(cdt), preferred_element_type=jnp.float32,
+                precision=matmul_precision(cdt))
+        + p["b"]
+    )
+
+
+def transformer_encode(
+    params: Dict[str, Any],
+    tokens: jax.Array,  # int32 [B, T]
+    lengths: jax.Array,  # int32 [B]
+    spec: TransformerSpec,
+    *,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Masked pre-LN transformer encoder -> masked mean-pool -> [B, H]."""
+    cdt = jnp.dtype(spec.compute_dtype)
+    B, T = tokens.shape
+    H, nh, hd = spec.hidden_dim, spec.num_heads, spec.head_dim
+    use_dropout = train and spec.dropout > 0.0
+    if use_dropout and dropout_rng is None:
+        raise ValueError("dropout_rng required when train=True and dropout>0")
+
+    def maybe_dropout(x, rng):
+        if not use_dropout:
+            return x, rng
+        rng, sub = jax.random.split(rng)
+        keep = 1.0 - spec.dropout
+        return x * jax.random.bernoulli(sub, keep, x.shape) / keep, rng
+
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    valid = (t_idx < lengths[:, None]).astype(jnp.float32)  # [B, T]
+    attn_bias = (1.0 - valid)[:, None, None, :] * -1e9  # [B, 1, 1, T]
+
+    x = jnp.take(params["embedding"], tokens, axis=0)  # [B, T, E]
+    x = _dense(x, params["input_proj"], cdt) + params["pos_embedding"][:T][None, :, :]
+
+    rng = dropout_rng
+    for block in params["blocks"]:
+        # --- attention sublayer (pre-LN) ---
+        y = _layer_norm(x, block["ln1"])
+        qkv = _dense(y, block["qkv"], cdt)  # [B, T, 3H]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        scores = (
+            jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), k.astype(cdt),
+                       preferred_element_type=jnp.float32,
+                       precision=matmul_precision(cdt))
+            / np.sqrt(hd)
+            + attn_bias
+        )
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(cdt), v.astype(cdt),
+                          preferred_element_type=jnp.float32,
+                          precision=matmul_precision(cdt))
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H)
+        attn = _dense(attn, block["attn_out"], cdt)
+        attn, rng = maybe_dropout(attn, rng)
+        x = x + attn
+        # --- FFN sublayer ---
+        y = _layer_norm(x, block["ln2"])
+        y = _dense(jax.nn.gelu(_dense(y, block["ffn_in"], cdt)), block["ffn_out"], cdt)
+        y, rng = maybe_dropout(y, rng)
+        x = x + y
+
+    x = _layer_norm(x, params["ln_final"])
+    # Masked mean-pool; zero-length rows -> zero vector (empty-query guard,
+    # ref: query_inferencer.py:65-69).
+    denom = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1.0)
+    pooled = jnp.sum(x * valid[..., None], axis=1) / denom
+    pooled = pooled * (lengths > 0).astype(jnp.float32)[:, None]
+    if spec.normalize_output:
+        norm = jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+        pooled = pooled / norm
+    return pooled
