@@ -1,0 +1,237 @@
+"""Training-layer tests: step mechanics, learning, evaluators, checkpoint,
+artifacts, and the end-to-end loop on the synthetic corpus."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from twotowermlretrieval_tpu.data.batching import TripletBatcher
+from twotowermlretrieval_tpu.data.loader import TripletBuilder
+from twotowermlretrieval_tpu.encoder import TextEncoder
+from twotowermlretrieval_tpu.models.two_tower import TwoTowerSpec, init_two_tower
+from twotowermlretrieval_tpu.tokenizer import Tokenizer
+from twotowermlretrieval_tpu.train.evaluators import (
+    BatchEvaluator,
+    CorpusEvaluator,
+    TestEvaluator,
+    ranks_of_diagonal,
+)
+from twotowermlretrieval_tpu.train.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    merge_params,
+    partition_params,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    """Shared small model + data for the module."""
+    from twotowermlretrieval_tpu.data.synthetic import generate_corpus, synthetic_config
+
+    out = tmp_path_factory.mktemp("train_synth")
+    generate_corpus(out, num_queries=120, num_topics=10, words_per_topic=15, embed_dim=16)
+    config = synthetic_config(out, hidden_dim=16, lr=5e-3, batch_size=16)
+    config, tokenizer, table = _setup_config(config)
+    spec = TwoTowerSpec.from_config(config)
+    params = init_two_tower(jax.random.key(0), spec, pretrained_embeddings=table)
+    datasets = TripletBuilder(config).load_datasets()
+    return config, tokenizer, spec, params, datasets
+
+
+def _setup_config(config):
+    from twotowermlretrieval_tpu.train.loop import setup
+
+    return setup(config)
+
+
+def _batcher(config, tokenizer, data):
+    return TripletBatcher(
+        data, tokenizer, config.batch_size, config.max_query_len, config.max_doc_len
+    )
+
+
+# ---------------------------------------------------------------------------
+# partition / merge
+# ---------------------------------------------------------------------------
+
+
+def test_partition_frozen_embeddings(setup):
+    _, _, _, params, _ = setup
+    trainable, frozen = partition_params(params, freeze_embeddings=True)
+    assert "embedding" not in trainable["query"]
+    assert set(frozen.keys()) == {"query", "doc"}
+    merged = merge_params(trainable, frozen)
+    assert jax.tree.all(jax.tree.map(lambda a, b: (a == b).all(), merged, params))
+
+    trainable2, frozen2 = partition_params(params, freeze_embeddings=False)
+    assert frozen2 == {}
+    assert "embedding" in trainable2["query"]
+
+
+def test_frozen_embeddings_not_updated(setup):
+    config, tokenizer, spec, params, datasets = setup
+    state = create_train_state(jax.random.key(1), params, config)
+    step_fn = jax.jit(make_train_step(spec, config))
+    batch = next(iter(_batcher(config, tokenizer, datasets["train"]).batches(seed=0)))
+    dev = jax.tree.map(jnp.asarray, batch)
+    new_state, metrics = step_fn(state, dev)
+    np.testing.assert_array_equal(
+        np.asarray(new_state.frozen["query"]["embedding"]),
+        np.asarray(state.frozen["query"]["embedding"]),
+    )
+    # trainable params did move
+    old = np.asarray(state.trainable["query"]["layers"][0]["fwd"]["w_ih"])
+    new = np.asarray(new_state.trainable["query"]["layers"][0]["fwd"]["w_ih"])
+    assert np.abs(old - new).max() > 0
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_train_step_metrics_and_grad_clip(setup):
+    config, tokenizer, spec, params, datasets = setup
+    config = config.replace(grad_clip_norm=1e-8)  # clip ~everything
+    state = create_train_state(jax.random.key(1), params, config)
+    step_fn = jax.jit(make_train_step(spec, config))
+    batch = next(iter(_batcher(config, tokenizer, datasets["train"]).batches(seed=0)))
+    new_state, metrics = step_fn(state, jax.tree.map(jnp.asarray, batch))
+    for key in ("loss", "triplet_accuracy", "similarity_gap", "pos_similarity",
+                "neg_similarity", "query_magnitude", "doc_magnitude", "grad_norm"):
+        assert key in metrics
+    # with a near-zero clip, the update magnitude is bounded but nonzero
+    delta = jax.tree.map(
+        lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).max(),
+        new_state.trainable, state.trainable,
+    )
+    assert max(jax.tree.leaves(delta)) < 0.2  # adam lr bound
+
+
+def test_loss_decreases_and_model_learns(setup):
+    config, tokenizer, spec, params, datasets = setup
+    # copy: donation below would delete the module-scoped fixture's buffers
+    params = jax.tree.map(jnp.array, params)
+    state = create_train_state(jax.random.key(1), params, config)
+    step_fn = jax.jit(make_train_step(spec, config), donate_argnums=(0,))
+    batcher = _batcher(config, tokenizer, datasets["train"])
+    losses = []
+    for epoch in range(8):
+        for batch in batcher.batches(seed=epoch):
+            state, metrics = step_fn(state, jax.tree.map(jnp.asarray, batch))
+            losses.append(float(metrics["loss"]))
+    first, last = np.mean(losses[:5]), np.mean(losses[-5:])
+    assert last < first * 0.8, f"loss did not decrease: {first} -> {last}"
+
+
+# ---------------------------------------------------------------------------
+# evaluators
+# ---------------------------------------------------------------------------
+
+
+def test_ranks_of_diagonal():
+    sim = np.array([[0.9, 0.1, 0.2], [0.8, 0.3, 0.1], [0.5, 0.6, 0.4]])
+    # row0: diag 0.9 is max -> rank 1; row1: diag 0.3 below 0.8 -> rank 2;
+    # row2: diag 0.4 below 0.5,0.6 -> rank 3
+    np.testing.assert_array_equal(ranks_of_diagonal(sim), [1, 2, 3])
+
+
+def test_batch_evaluator_protocol(setup):
+    config, tokenizer, spec, params, datasets = setup
+    state = create_train_state(jax.random.key(1), params, config)
+    eval_step = jax.jit(make_eval_step(spec, config))
+    metrics, val_loss = BatchEvaluator().evaluate(
+        eval_step, state, _batcher(config, tokenizer, datasets["validation"])
+    )
+    assert set(metrics) == {"Recall@1", "Recall@5", "Recall@10", "MRR"}
+    assert 0 <= metrics["Recall@1"] <= metrics["Recall@5"] <= metrics["Recall@10"] <= 1
+    assert metrics["MRR"] >= metrics["Recall@1"]
+    assert val_loss > 0
+
+
+def test_corpus_evaluator_protocol(setup):
+    config, tokenizer, spec, params, datasets = setup
+    encoder = TextEncoder(params, spec, tokenizer, batch_size=32,
+                          max_query_len=config.max_query_len, max_doc_len=config.max_doc_len)
+    ev = CorpusEvaluator(max_candidates=30, max_queries=10, seed=0)
+    metrics = ev.evaluate(encoder, datasets["validation"])
+    assert set(metrics) == {"Recall@1", "Recall@5", "Recall@10", "Hit@1", "Hit@5", "Hit@10"}
+    for k in (1, 5, 10):
+        assert metrics[f"Hit@{k}"] >= metrics[f"Recall@{k}"] - 1e-9
+    # deterministic given the seed
+    metrics2 = CorpusEvaluator(max_candidates=30, max_queries=10, seed=0).evaluate(
+        encoder, datasets["validation"]
+    )
+    assert metrics == metrics2
+    assert ev.evaluate(encoder, []) == {}
+
+
+def test_test_evaluator(setup):
+    config, tokenizer, spec, params, datasets = setup
+    encoder = TextEncoder(params, spec, tokenizer, batch_size=32,
+                          max_query_len=config.max_query_len, max_doc_len=config.max_doc_len)
+    lines = []
+    results = TestEvaluator(num_examples=3, top_k=4, seed=0).evaluate(
+        encoder, datasets["test"], print_fn=lines.append
+    )
+    assert len(results) == 3
+    assert all(len(r["retrieved"]) == 4 for r in results)
+    assert any("Query:" in line for line in lines)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    from twotowermlretrieval_tpu.train.checkpoint import CheckpointManager
+
+    config, tokenizer, spec, params, datasets = setup
+    state = create_train_state(jax.random.key(1), params, config)
+    step_fn = jax.jit(make_train_step(spec, config))
+    batch = next(iter(_batcher(config, tokenizer, datasets["train"]).batches(seed=0)))
+    state, _ = step_fn(state, jax.tree.map(jnp.asarray, batch))
+
+    mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+    mgr.save(state, {"epoch": 0, "batch_index": 1})
+
+    template = create_train_state(jax.random.key(1), params, config)
+    restored, position = mgr.restore(template)
+    assert position == {"epoch": 0, "batch_index": 1}
+    assert int(restored.step) == 1
+    chex = pytest.importorskip("chex")
+    chex.assert_trees_all_close(restored.trainable, state.trainable)
+    chex.assert_trees_all_close(restored.opt_state, state.opt_state)
+    # rng stream continues identically
+    np.testing.assert_array_equal(
+        jax.random.key_data(restored.rng), jax.random.key_data(state.rng)
+    )
+
+
+def test_checkpoint_gc(setup, tmp_path):
+    from twotowermlretrieval_tpu.train.checkpoint import CheckpointManager
+
+    config, _, _, params, _ = setup
+    state = create_train_state(jax.random.key(1), params, config)
+    mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+    for step in (1, 2, 3, 4):
+        mgr.save(state._replace(step=jnp.asarray(step, jnp.int32)))
+    assert mgr.all_steps() == [3, 4]
+    assert mgr.latest_step() == 4
+
+
+# ---------------------------------------------------------------------------
+# pytree npz roundtrip
+# ---------------------------------------------------------------------------
+
+
+def test_params_npz_roundtrip(setup, tmp_path):
+    from twotowermlretrieval_tpu.utils.pytree import load_params_npz, save_params_npz
+
+    _, _, _, params, _ = setup
+    save_params_npz(tmp_path / "model.npz", params)
+    loaded = load_params_npz(tmp_path / "model.npz")
+    assert jax.tree.structure(jax.tree.map(np.asarray, params)) == jax.tree.structure(loaded)
+    assert jax.tree.all(jax.tree.map(lambda a, b: (np.asarray(a) == b).all(), params, loaded))
+    # layers tuple survives as a tuple
+    assert isinstance(loaded["query"]["layers"], tuple)

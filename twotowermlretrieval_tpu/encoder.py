@@ -1,0 +1,62 @@
+"""Batched host-text -> device-embedding encoder.
+
+Shared by the evaluators (ref: backend/evaluators.py:162-175), the artifact
+exporter (ref: backend/main.py:125-133) and the serving inferencer
+(ref: backend/query_inferencer.py:59-75): tokenize to static shapes, run the
+jitted tower, return numpy embeddings. One compiled executable per
+(batch_size, max_len) pair — callers reuse one instance to avoid recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from twotowermlretrieval_tpu.data.batching import tokenize_corpus
+from twotowermlretrieval_tpu.models.two_tower import TwoTowerSpec, encode_document, encode_query
+from twotowermlretrieval_tpu.tokenizer import Tokenizer
+
+
+class TextEncoder:
+    def __init__(
+        self,
+        params,
+        spec: TwoTowerSpec,
+        tokenizer: Tokenizer,
+        batch_size: int = 256,
+        max_query_len: int = 32,
+        max_doc_len: int = 128,
+    ):
+        self.params = params
+        self.spec = spec
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_query_len = max_query_len
+        self.max_doc_len = max_doc_len
+        self._encode_q = jax.jit(encode_query, static_argnames=("spec",))
+        self._encode_d = jax.jit(encode_document, static_argnames=("spec",))
+
+    def _run(self, texts: Sequence[str], fn, max_len: int) -> np.ndarray:
+        outs = []
+        for tokens, lengths, mask in tokenize_corpus(
+            texts, self.tokenizer, max_len, self.batch_size
+        ):
+            emb = fn(self.params, jnp.asarray(tokens), jnp.asarray(lengths), self.spec)
+            outs.append(np.asarray(emb)[mask.astype(bool)])
+        return np.concatenate(outs, axis=0) if outs else np.zeros((0, self.spec.hidden_dim), np.float32)
+
+    def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
+        """[N, H] query-tower embeddings (ref: query_inferencer.py:59-75,
+        including the zero-vector result for token-less inputs)."""
+        return self._run(texts, self._encode_q, self.max_query_len)
+
+    def encode_documents(self, texts: Sequence[str]) -> np.ndarray:
+        """[N, H] doc-tower embeddings (ref: backend/main.py:125-133)."""
+        return self._run(texts, self._encode_d, self.max_doc_len)
+
+    def encode_query(self, text: str) -> np.ndarray:
+        """Single query -> [H] (the serving hot path)."""
+        return self.encode_queries([text])[0]

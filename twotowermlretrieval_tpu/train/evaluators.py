@@ -1,0 +1,191 @@
+"""Evaluation protocols, metric-for-metric equivalents of the reference's
+three evaluators (ref: backend/evaluators.py).
+
+- :class:`BatchEvaluator` — in-batch protocol: every validation query is
+  scored against every validation *positive* document; the positive for
+  query i sits at column i of ``Q @ D^T`` (ref: evaluators.py:49-65).
+  Produces MRR + Recall@{1,5,10} + average validation triplet loss.
+- :class:`CorpusEvaluator` — multi-positive protocol over a candidate pool
+  capped at ``max_candidates`` (default 1000) with ``max_queries`` (50)
+  sampled queries; Recall@k = found/available positives, Hit@k = any found
+  (ref: evaluators.py:83-209), skipping queries whose positives were sampled
+  out of the pool (ref: evaluators.py:189-192).
+- :class:`TestEvaluator` — qualitative top-k printout with ground-truth
+  markers (ref: evaluators.py:212-285).
+
+TPU-first: embeddings come from the jitted towers in fixed-shape batches,
+and rank/top-k math runs as device matmuls + ``lax.top_k`` instead of
+per-query Python loops. Sampling uses seeded RNGs (the reference uses the
+global ``random`` module — unreproducible; we keep the same distribution
+but pin the stream).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from twotowermlretrieval_tpu.encoder import TextEncoder
+
+Triplet = Tuple[str, str, str]
+
+
+def ranks_of_diagonal(sim: np.ndarray) -> np.ndarray:
+    """Rank (1-based) of sim[i, i] within row i, counting strictly-greater
+    entries — the reference's sort-position semantics (evaluators.py:59-65)
+    for distinct scores."""
+    diag = np.diag(sim)
+    return 1 + (sim > diag[:, None]).sum(axis=1)
+
+
+class BatchEvaluator:
+    """In-batch retrieval eval (ref: evaluators.py:9-80)."""
+
+    def __init__(self, top_k: Sequence[int] = (1, 5, 10)):
+        self.top_k = tuple(top_k)
+
+    def evaluate(self, eval_step, state, batcher) -> Tuple[Dict[str, float], float]:
+        """eval_step: jitted fn from make_eval_step; batcher: TripletBatcher
+        over the validation split. Returns (metrics, avg_val_loss)."""
+        all_q, all_p = [], []
+        total_loss, num_batches = 0.0, 0
+        for batch in batcher.batches(seed=None):
+            dev_batch = jax.tree.map(jnp.asarray, batch)
+            q, p, m = eval_step(state, dev_batch)
+            real = batch.example_mask.astype(bool)
+            all_q.append(np.asarray(q)[real])
+            all_p.append(np.asarray(p)[real])
+            total_loss += float(m["val_loss"])
+            num_batches += 1
+        if not all_q:
+            return {}, 0.0
+
+        q_embs = np.concatenate(all_q)
+        d_embs = np.concatenate(all_p)
+        # Full [N, N] similarity on device (ref: evaluators.py:53)
+        sim = np.asarray(
+            jnp.dot(jnp.asarray(q_embs), jnp.asarray(d_embs).T, preferred_element_type=jnp.float32)
+        )
+        ranks = ranks_of_diagonal(sim)
+        metrics = {f"Recall@{k}": float((ranks <= k).mean()) for k in self.top_k}
+        metrics["MRR"] = float((1.0 / ranks).mean())
+        return metrics, total_loss / max(num_batches, 1)
+
+
+class CorpusEvaluator:
+    """Multi-positive corpus eval (ref: evaluators.py:83-209)."""
+
+    def __init__(
+        self,
+        top_k: Sequence[int] = (1, 5, 10),
+        max_candidates: int = 1000,
+        max_queries: int = 50,
+        seed: int = 0,
+    ):
+        self.top_k = tuple(top_k)
+        self.max_candidates = max_candidates
+        self.max_queries = max_queries
+        self.seed = seed
+
+    def evaluate(self, encoder: TextEncoder, val_data: Sequence[Triplet]) -> Dict[str, float]:
+        if not val_data:
+            return {}
+        rng = random.Random(self.seed)
+
+        # 1. group positives per query; pool = all unique docs
+        # (ref: evaluators.py:107-121) — insertion-ordered for determinism
+        # where the reference's set() ordering is hash-randomized.
+        query_to_positives: Dict[str, set] = {}
+        all_docs: Dict[str, None] = {}
+        for query, pos_doc, neg_doc in val_data:
+            query_to_positives.setdefault(query, set()).add(pos_doc)
+            all_docs.setdefault(pos_doc)
+            all_docs.setdefault(neg_doc)
+        unique_queries = list(query_to_positives.keys())
+        unique_docs = list(all_docs.keys())
+        if len(unique_docs) > self.max_candidates:
+            unique_docs = rng.sample(unique_docs, self.max_candidates)
+
+        # 2. pre-compute document embeddings (ref: evaluators.py:162-175)
+        doc_embs = encoder.encode_documents(unique_docs)
+        doc_set = set(unique_docs)
+
+        # 3. sample queries, batch-encode, device top-k
+        sample_queries = rng.sample(unique_queries, min(self.max_queries, len(unique_queries)))
+        q_embs = encoder.encode_queries(sample_queries)
+        k_max = min(max(self.top_k), len(unique_docs))
+        sim = jnp.dot(jnp.asarray(q_embs), jnp.asarray(doc_embs).T, preferred_element_type=jnp.float32)
+        _, top_idx = jax.lax.top_k(sim, k_max)
+        top_idx = np.asarray(top_idx)
+
+        metrics: Dict[str, List[float]] = {f"Recall@{k}": [] for k in self.top_k}
+        metrics.update({f"Hit@{k}": [] for k in self.top_k})
+        for qi, query in enumerate(sample_queries):
+            known_positives = query_to_positives[query]
+            available = [d for d in known_positives if d in doc_set]
+            if not available:
+                continue  # ref: evaluators.py:189-192
+            retrieved = [unique_docs[j] for j in top_idx[qi]]
+            for k in self.top_k:
+                top_docs = retrieved[:k]
+                found = sum(1 for d in top_docs if d in known_positives)
+                metrics[f"Recall@{k}"].append(found / len(available))
+                metrics[f"Hit@{k}"].append(1.0 if found > 0 else 0.0)
+
+        return {
+            name: float(np.mean(vals)) if vals else 0.0 for name, vals in metrics.items()
+        }
+
+
+class TestEvaluator:
+    """Qualitative eval with ground-truth markers (ref: evaluators.py:212-285)."""
+
+    def __init__(self, num_examples: int = 10, top_k: int = 5, seed: int = 0):
+        self.num_examples = num_examples
+        self.top_k = top_k
+        self.seed = seed
+
+    def evaluate(
+        self, encoder: TextEncoder, test_data: Sequence[Triplet], print_fn=print
+    ) -> List[Dict]:
+        if not test_data:
+            return []
+        rng = random.Random(self.seed)
+
+        all_queries = list(dict.fromkeys(t[0] for t in test_data))
+        all_docs: Dict[str, None] = {}
+        ground_truth: Dict[str, set] = {}
+        for query, pos_doc, neg_doc in test_data:
+            ground_truth.setdefault(query, set()).add(pos_doc)
+            all_docs.setdefault(pos_doc)
+            all_docs.setdefault(neg_doc)
+        unique_docs = list(all_docs.keys())
+
+        doc_embs = encoder.encode_documents(unique_docs)
+        sample_queries = rng.sample(all_queries, min(self.num_examples, len(all_queries)))
+        q_embs = encoder.encode_queries(sample_queries)
+        k = min(self.top_k, len(unique_docs))
+        sim = jnp.dot(jnp.asarray(q_embs), jnp.asarray(doc_embs).T, preferred_element_type=jnp.float32)
+        top_scores, top_idx = jax.lax.top_k(sim, k)
+        top_scores, top_idx = np.asarray(top_scores), np.asarray(top_idx)
+
+        results = []
+        for qi, query in enumerate(sample_queries):
+            positives = ground_truth.get(query, set())
+            retrieved = []
+            found = 0
+            print_fn(f"\nQuery: {query}")
+            for rank in range(k):
+                doc = unique_docs[top_idx[qi, rank]]
+                is_positive = doc in positives
+                found += int(is_positive)
+                marker = "+" if is_positive else "-"
+                print_fn(f"  {rank + 1}. [{marker}] {doc[:100]} (score {top_scores[qi, rank]:.4f})")
+                retrieved.append({"doc": doc, "score": float(top_scores[qi, rank]), "positive": is_positive})
+            print_fn(f"  found {found}/{len(positives)} ground-truth positives in top {k}")
+            results.append({"query": query, "retrieved": retrieved, "found": found, "total_positives": len(positives)})
+        return results

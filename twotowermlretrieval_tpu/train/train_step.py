@@ -1,0 +1,207 @@
+"""The jitted training step: forward 3 towers -> loss -> grad -> clip -> Adam.
+
+Re-designs the reference's eager train loop body (ref: backend/main.py:244-259)
+as one pure function compiled once by XLA:
+
+- the three encodes, the loss, the backward pass, gradient clipping
+  (max_norm=1.0, ref: backend/main.py:257) and the Adam update all fuse into
+  a single device program — no per-op dispatch, no host sync per batch
+  (the reference syncs on ``loss.item()`` every step, backend/main.py:261);
+- frozen embedding tables are *partitioned out* of the differentiated
+  params, so no [V, E] gradient is ever materialized (the torch analogue is
+  ``requires_grad=False``, ref: model.py:26-27);
+- metrics carry the dead trainer.py's richer set — triplet accuracy,
+  similarity gap, embedding magnitudes (ref: backend/trainer.py:38-55) —
+  computed on-device in the same program;
+- with ``axis_name`` set the same function runs under ``shard_map`` over the
+  'data' mesh axis: gradients/metrics are ``psum``-averaged and the in-batch
+  loss all-gathers negatives across chips (BASELINE.json configs 2-3).
+
+State is a plain pytree NamedTuple (params split into trainable/frozen,
+optax state, step, rng) — checkpoint-friendly and sharding-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from twotowermlretrieval_tpu.data.batching import Batch
+from twotowermlretrieval_tpu.models.losses import combined_loss, triplet_loss_cosine
+from twotowermlretrieval_tpu.models.two_tower import (
+    TwoTowerSpec,
+    encode_document,
+    encode_query,
+)
+
+
+class TrainState(NamedTuple):
+    trainable: Any  # differentiated params pytree
+    frozen: Any  # non-differentiated params (e.g. GloVe tables)
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+    rng: jax.Array  # PRNG key (dropout stream)
+
+
+# ---------------------------------------------------------------------------
+# param partitioning (frozen embeddings)
+# ---------------------------------------------------------------------------
+
+
+def partition_params(params: Dict[str, Any], freeze_embeddings: bool):
+    """Split two-tower params into (trainable, frozen).
+
+    When embeddings are frozen (ref: model.py:26-27) the [V, E] tables move
+    to the frozen tree: jax.grad never sees them, so neither the scatter-add
+    backward nor a zeros gradient buffer is ever built.
+    """
+    if not freeze_embeddings:
+        return params, {}
+    trainable = {}
+    frozen = {}
+    for tower, tower_params in params.items():
+        t = dict(tower_params)
+        frozen[tower] = {"embedding": t.pop("embedding")}
+        trainable[tower] = t
+    return trainable, frozen
+
+
+def merge_params(trainable: Dict[str, Any], frozen: Dict[str, Any]) -> Dict[str, Any]:
+    if not frozen:
+        return trainable
+    return {
+        tower: {**trainable[tower], **frozen.get(tower, {})} for tower in trainable
+    }
+
+
+# ---------------------------------------------------------------------------
+# optimizer
+# ---------------------------------------------------------------------------
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    """clip_by_global_norm(GRAD_CLIP_NORM) -> Adam(LR), matching the
+    reference's clip-then-Adam order (ref: backend/main.py:222, 257)."""
+    return optax.chain(
+        optax.clip_by_global_norm(config.grad_clip_norm),
+        optax.adam(config.lr),
+    )
+
+
+def create_train_state(
+    rng: jax.Array,
+    params: Dict[str, Any],
+    config,
+) -> TrainState:
+    trainable, frozen = partition_params(params, config.freeze_embeddings)
+    tx = make_optimizer(config)
+    return TrainState(
+        trainable=trainable,
+        frozen=frozen,
+        opt_state=tx.init(trainable),
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+    )
+
+
+# ---------------------------------------------------------------------------
+# steps
+# ---------------------------------------------------------------------------
+
+
+def _weighted_mean(x: jax.Array, w: jax.Array) -> jax.Array:
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _forward_and_metrics(
+    params, batch: Batch, spec: TwoTowerSpec, config, dropout_rng, train: bool, axis_name
+):
+    if dropout_rng is not None:
+        q_rng, p_rng, n_rng = jax.random.split(dropout_rng, 3)
+    else:
+        q_rng = p_rng = n_rng = None
+    q = encode_query(params, batch.q_tokens, batch.q_len, spec, train=train, dropout_rng=q_rng)
+    p = encode_document(params, batch.pos_tokens, batch.pos_len, spec, train=train, dropout_rng=p_rng)
+    n = encode_document(params, batch.neg_tokens, batch.neg_len, spec, train=train, dropout_rng=n_rng)
+    w = batch.example_mask
+
+    loss = combined_loss(
+        q, p, n, config.loss_type, config.margin, config.temperature, weights=w,
+        axis_name=axis_name if config.cross_device_negatives else None,
+    )
+
+    # trainer.py metric set (ref: backend/trainer.py:38-55), on-device
+    pos_sim = jnp.sum(q * p, axis=-1)
+    neg_sim = jnp.sum(q * n, axis=-1)
+    metrics = {
+        "loss": loss,
+        "triplet_accuracy": _weighted_mean((pos_sim > neg_sim).astype(jnp.float32), w),
+        "similarity_gap": _weighted_mean(pos_sim - neg_sim, w),
+        "pos_similarity": _weighted_mean(pos_sim, w),
+        "neg_similarity": _weighted_mean(neg_sim, w),
+        "query_magnitude": _weighted_mean(jnp.linalg.norm(q, axis=-1), w),
+        "doc_magnitude": _weighted_mean(jnp.linalg.norm(p, axis=-1), w),
+    }
+    return loss, metrics
+
+
+def make_train_step(spec: TwoTowerSpec, config, axis_name: Optional[str] = None):
+    """Build the pure train-step function.
+
+    axis_name=None  -> single-device; wrap with jax.jit.
+    axis_name='data'-> SPMD body; wrap with shard_map over the mesh (see
+                       parallel.distributed). Gradients and metrics are
+                       pmean-reduced; params/opt-state stay replicated.
+    """
+    tx = make_optimizer(config)
+
+    def loss_fn(trainable, frozen, batch, dropout_rng):
+        params = merge_params(trainable, frozen)
+        return _forward_and_metrics(
+            params, batch, spec, config, dropout_rng, train=True, axis_name=axis_name
+        )
+
+    def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, dropout_rng = jax.random.split(state.rng)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.trainable, state.frozen, batch, dropout_rng
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = TrainState(
+            trainable=trainable,
+            frozen=state.frozen,
+            opt_state=opt_state,
+            step=state.step + 1,
+            rng=rng,
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(spec: TwoTowerSpec, config, axis_name: Optional[str] = None):
+    """Validation step: no dropout, no update. Returns (q_emb, pos_emb,
+    metrics) so callers can run the in-batch retrieval protocol
+    (ref: backend/evaluators.py:30-44)."""
+
+    def eval_step(state: TrainState, batch: Batch):
+        params = merge_params(state.trainable, state.frozen)
+        q = encode_query(params, batch.q_tokens, batch.q_len, spec)
+        p = encode_document(params, batch.pos_tokens, batch.pos_len, spec)
+        n = encode_document(params, batch.neg_tokens, batch.neg_len, spec)
+        # Validation loss uses the reference's triplet loss regardless of the
+        # training loss (ref: evaluators.py:36-37)
+        loss = triplet_loss_cosine((q, p, n), config.margin, weights=batch.example_mask)
+        if axis_name is not None:
+            loss = jax.lax.pmean(loss, axis_name)
+        return q, p, {"val_loss": loss}
+
+    return eval_step
