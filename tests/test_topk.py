@@ -1,0 +1,106 @@
+"""Fused top-k kernel vs the lax.top_k oracle (SURVEY.md §4 numerics tests).
+
+On CPU the kernel runs in Pallas interpret mode; the same code path compiles
+natively on TPU (exercised by bench.py / the serving drive).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from twotowermlretrieval_tpu.ops.topk import fused_topk, topk_oracle, topk_segmented
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _data(rng, B=8, N=1000, H=32, normalized=True):
+    q = rng.normal(size=(B, H)).astype(np.float32)
+    d = rng.normal(size=(N, H)).astype(np.float32)
+    if normalized:
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(q), jnp.asarray(d)
+
+
+def test_oracle_matches_numpy(rng):
+    q, d = _data(rng)
+    vals, ids = topk_oracle(q, d, 10)
+    scores = np.asarray(q) @ np.asarray(d).T
+    np_ids = np.argsort(-scores, axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(ids), np_ids)
+    np.testing.assert_allclose(np.asarray(vals), np.take_along_axis(scores, np_ids, 1), rtol=1e-5)
+
+
+@pytest.mark.parametrize("N,tile_n", [(1000, 256), (256, 256), (4096, 512)])
+def test_fused_matches_oracle(rng, N, tile_n):
+    q, d = _data(rng, B=8, N=N, H=32)
+    k = 50
+    ref_vals, ref_ids = topk_oracle(q, d, k)
+    vals, ids = fused_topk(q, d, k=k, tile_n=tile_n, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
+def test_fused_non_multiple_padding(rng):
+    # N deliberately not a multiple of tile_n: padding rows must never win
+    q, d = _data(rng, B=4, N=777, H=16)
+    ref_vals, ref_ids = topk_oracle(q, d, 20)
+    vals, ids = fused_topk(q, d, k=20, tile_n=256, interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+    assert (np.asarray(ids) < 777).all()
+
+
+def test_fused_bf16_storage(rng):
+    q, d = _data(rng, B=4, N=512, H=32)
+    d16 = d.astype(jnp.bfloat16)
+    vals, ids = fused_topk(q, d16, k=10, tile_n=256, interpret=INTERPRET)
+    # bf16 scoring: the top-sets should broadly agree with f32
+    ref_vals, ref_ids = topk_oracle(q, d, 10)
+    overlap = np.mean([
+        len(set(np.asarray(ids)[i]) & set(np.asarray(ref_ids)[i])) / 10 for i in range(4)
+    ])
+    assert overlap > 0.8
+    assert vals.dtype == jnp.float32  # f32 accumulation regardless of storage
+
+
+def test_fused_negative_scores_beat_padding(rng):
+    # all-negative scores: zero-padding rows (score 0) must still lose
+    q = jnp.asarray(-np.abs(rng.normal(size=(2, 8))).astype(np.float32))
+    d = jnp.asarray(np.abs(rng.normal(size=(300, 8))).astype(np.float32))
+    vals, ids = fused_topk(q, d, k=5, tile_n=256, interpret=INTERPRET)
+    assert (np.asarray(vals) < 0).all()
+    assert (np.asarray(ids) < 300).all()
+
+
+def test_fused_k_larger_than_corpus_raises(rng):
+    q, d = _data(rng, B=2, N=10, H=8)
+    with pytest.raises(ValueError):
+        fused_topk(q, d, k=50, tile_n=256, interpret=INTERPRET)
+
+
+def test_fused_sorted_descending(rng):
+    q, d = _data(rng, B=8, N=2000, H=32)
+    vals, _ = fused_topk(q, d, k=50, tile_n=512, interpret=INTERPRET)
+    v = np.asarray(vals)
+    assert (np.diff(v, axis=1) <= 1e-7).all()
+
+
+@pytest.mark.parametrize("N,seg", [(1000, 128), (777, 128), (4096, 64), (100, 128)])
+def test_segmented_matches_oracle(rng, N, seg):
+    q, d = _data(rng, B=8, N=N, H=32)
+    k = min(50, N)
+    ref_vals, ref_ids = topk_oracle(q, d, k)
+    vals, ids = topk_segmented(q, d, k=k, segment=seg)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
+def test_segmented_clustered_scores(rng):
+    # adversarial: many top scores inside ONE segment (covering argument)
+    d = rng.normal(size=(1024, 16)).astype(np.float32) * 0.01
+    d[256:288] += 10.0  # 32 near-identical high-score docs in one segment
+    q = np.ones((2, 16), np.float32)
+    ref_vals, ref_ids = topk_oracle(jnp.asarray(q), jnp.asarray(d), 40)
+    vals, ids = topk_segmented(jnp.asarray(q), jnp.asarray(d), k=40, segment=128)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))

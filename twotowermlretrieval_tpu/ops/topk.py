@@ -1,0 +1,298 @@
+"""Fused dot-product + streaming top-k retrieval kernels.
+
+The reference delegates nearest-neighbor search to a host-side ChromaDB HNSW
+index (ref: frontend/main.py:74-76, 153-156; built offline in
+frontend/save_to_chromaDB.ipynb). This module replaces that stage with
+device-side retrieval over the raw embedding matrix:
+
+- :func:`topk_oracle` — ``Q @ D^T`` then ``jax.lax.top_k``. Exact, simple,
+  and the correctness oracle for the kernel; fine for small corpora but it
+  materializes the full [B, N] score matrix in HBM.
+- :func:`fused_topk` — a Pallas kernel that streams document tiles
+  HBM->VMEM, scores them on the MXU, and maintains a running top-k in VMEM
+  scratch, so the [B, N] scores never touch HBM. The merge is gated on a
+  per-tile threshold test: once the running top-k stabilizes, most tiles
+  are a matmul + one comparison — the kernel runs at HBM speed-of-light
+  (corpus bytes / bandwidth).
+
+Scoring is inner product; with L2-normalized embeddings (the model's
+NORMALIZE_OUTPUT=true default, ref: model.py:73-74) that equals cosine
+similarity, matching both the reference's evaluators (evaluators.py:53) and
+its ChromaDB ``1 - distance`` serving score (frontend/main.py:162).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(-3.0e38)  # fits f32; safer than -inf for max/compare chains
+
+
+def topk_oracle(queries: jax.Array, docs: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k by full matmul + lax.top_k. [B,H]x[N,H] -> ([B,k],[B,k])."""
+    scores = jnp.dot(
+        queries.astype(jnp.float32), docs.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jax.lax.top_k(scores, k)
+
+
+# ---------------------------------------------------------------------------
+# Pallas streaming kernel
+# ---------------------------------------------------------------------------
+
+
+def _row_first_argmax(x: jax.Array, col_ids: jax.Array) -> jax.Array:
+    """Index of the first per-row maximum, without lax.argmax (VPU-only):
+    min over column ids where the row max is attained. x: [B, C]."""
+    m = jnp.max(x, axis=1, keepdims=True)
+    return jnp.min(jnp.where(x >= m, col_ids, jnp.int32(2**31 - 1)), axis=1)
+
+
+def _extract_topk_into_refs(vals, ids, k: int, out_vals_ref, out_ids_ref):
+    """K-pass max extraction into the scratch refs. All updates are
+    full-block selects (Mosaic cannot store to a dynamic lane offset, so the
+    sorted output is built as a loop-carried value via one-hot column masks
+    and stored once). Runs on the VPU; entered only when a tile beats the
+    running threshold."""
+    B, C = vals.shape
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
+
+    def body(j, carry):
+        vals, out_vals, out_ids = carry
+        pos = _row_first_argmax(vals, col_ids)  # [B]
+        hit = col_ids == pos[:, None]  # [B, C] one-hot of the max
+        val_j = jnp.max(jnp.where(hit, vals, NEG_INF), axis=1)
+        id_j = jnp.max(jnp.where(hit, ids, jnp.int32(-1)), axis=1)
+        write = out_cols == j  # [B, k] one-hot of output column j
+        out_vals = jnp.where(write, val_j[:, None], out_vals)
+        out_ids = jnp.where(write, id_j[:, None], out_ids)
+        return jnp.where(hit, NEG_INF, vals), out_vals, out_ids
+
+    init = (vals, jnp.full((B, k), NEG_INF, jnp.float32), jnp.full((B, k), -1, jnp.int32))
+    _, out_vals, out_ids = jax.lax.fori_loop(0, k, body, init)
+    out_vals_ref[:] = out_vals
+    out_ids_ref[:] = out_ids
+
+
+def _sorted_insert(run_vals, run_ids, v, ids_v, improves, k):
+    """Insert one candidate per row (value v [B], id ids_v [B]) into the
+    sorted-descending running top-k, rows gated by ``improves`` [B].
+    Full-block VPU ops only: insertion position by rank, shift-right via
+    roll, select by column index."""
+    B = run_vals.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
+    rank = jnp.sum((run_vals >= v[:, None]).astype(jnp.int32), axis=1)  # [B]
+    shifted_vals = pltpu.roll(run_vals, shift=1, axis=1)  # [:, j] <- [:, j-1]
+    shifted_ids = pltpu.roll(run_ids, shift=1, axis=1)
+    new_vals = jnp.where(cols < rank[:, None], run_vals,
+                         jnp.where(cols == rank[:, None], v[:, None], shifted_vals))
+    new_ids = jnp.where(cols < rank[:, None], run_ids,
+                        jnp.where(cols == rank[:, None], ids_v[:, None], shifted_ids))
+    keep = improves[:, None]
+    return (jnp.where(keep, new_vals, run_vals), jnp.where(keep, new_ids, run_ids))
+
+
+def _fused_topk_kernel(
+    n_valid_ref,  # SMEM [1] int32 — true corpus size (pre-padding)
+    q_ref,  # VMEM [B, H]
+    d_ref,  # VMEM [TILE_N, H] — current document tile
+    out_vals_ref,  # VMEM [B, K]
+    out_ids_ref,  # VMEM [B, K]
+    run_vals,  # VMEM scratch [B, K] — running top-k values (sorted desc)
+    run_ids,  # VMEM scratch [B, K]
+    *,
+    k: int,
+    tile_n: int,
+    precision,
+):
+    step = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+    B = q_ref.shape[0]
+
+    @pl.when(step == 0)
+    def _init():
+        run_vals[:] = jnp.full((B, k), NEG_INF, jnp.float32)
+        run_ids[:] = jnp.full((B, k), -1, jnp.int32)
+
+    # MXU: score this tile. [B, H] x [H, TILE_N] -> [B, TILE_N] f32.
+    scores = jax.lax.dot_general(
+        q_ref[:], d_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    # global doc ids for this tile; mask out padding rows (>= n_valid)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
+    global_ids = col_ids + step * tile_n
+    scores = jnp.where(global_ids < n_valid_ref[0], scores, NEG_INF)
+
+    # Streaming merge: extract-and-insert one candidate per row per pass,
+    # looping only while any row still has a tile score beating its k-th
+    # running value. Steady state is 0-2 passes per tile; the first tiles
+    # (which fill the top-k from scratch) take up to k passes. Each pass is
+    # ~5 full-width VPU ops + an O(B*k) sorted insert.
+    int_max = jnp.int32(2**31 - 1)
+
+    def has_improvement(carry):
+        scores, rv, ri = carry
+        return jnp.any(scores > rv[:, k - 1][:, None])
+
+    def extract_pass(carry):
+        scores, rv, ri = carry
+        v = jnp.max(scores, axis=1)  # [B] row max
+        hit_all = scores >= v[:, None]  # ties included
+        ids_v = jnp.min(jnp.where(hit_all, global_ids, int_max), axis=1)  # first id
+        hit_sel = hit_all & (global_ids == ids_v[:, None])  # exactly one per row
+        improves = v > rv[:, k - 1]
+        rv, ri = _sorted_insert(rv, ri, v, ids_v, improves, k)
+        scores = jnp.where(hit_sel, NEG_INF, scores)
+        return scores, rv, ri
+
+    @pl.when(has_improvement((scores, run_vals[:], run_ids[:])))
+    def _merge():
+        _, rv, ri = jax.lax.while_loop(
+            has_improvement, extract_pass, (scores, run_vals[:], run_ids[:])
+        )
+        run_vals[:] = rv
+        run_ids[:] = ri
+
+    @pl.when(step == num_steps - 1)
+    def _finalize():
+        out_vals_ref[:] = run_vals[:]
+        out_ids_ref[:] = run_ids[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def fused_topk(
+    queries: jax.Array,  # [B, H]
+    docs: jax.Array,  # [N, H] — any dtype; scored in its storage dtype
+    k: int = 50,
+    tile_n: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming fused score+top-k. Returns (values [B, k], ids [B, k]),
+    sorted descending; ids are row indices into ``docs``. Exactness contract:
+    identical set/order as :func:`topk_oracle` up to score ties.
+    """
+    B, H = queries.shape
+    N = docs.shape[0]
+    if docs.shape[1] != H:
+        raise ValueError(f"dim mismatch: queries H={H}, docs H={docs.shape[1]}")
+    if k > N:
+        raise ValueError(f"k={k} larger than corpus N={N}")
+
+    # pad corpus rows to a tile multiple (padding masked by n_valid)
+    n_pad = (-N) % tile_n
+    if n_pad:
+        docs = jnp.concatenate([docs, jnp.zeros((n_pad, H), docs.dtype)], axis=0)
+    num_tiles = docs.shape[0] // tile_n
+
+    compute_dtype = docs.dtype
+    queries = queries.astype(compute_dtype)
+    precision = (
+        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+
+    n_valid = jnp.asarray([N], jnp.int32)
+    kernel = functools.partial(_fused_topk_kernel, k=k, tile_n=tile_n, precision=precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, H), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, k), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, k), jnp.float32),
+            pltpu.VMEM((B, k), jnp.int32),
+        ],
+    )
+    vals, ids = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * docs.shape[0],
+            bytes_accessed=docs.shape[0] * H * docs.dtype.itemsize + B * H * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_valid, queries, docs)
+    return vals, ids
+
+
+# ---------------------------------------------------------------------------
+# Exact two-phase (segment-max covering) top-k, plain XLA
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "segment"))
+def topk_segmented(
+    queries: jax.Array,  # [B, H]
+    docs: jax.Array,  # [N, H]
+    k: int = 50,
+    segment: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k via the segment-max covering argument, in plain XLA.
+
+    Partition the corpus into fixed segments; the segment holding the true
+    i-th value has segment-max >= v_i, and fewer than i other segments can
+    have a larger max — so the top-k segments (by max) always cover the true
+    top-k elements. Phase 1: one [B, N] matmul + segment-max + a small
+    ``lax.top_k`` over [B, N/segment]. Phase 2: gather the k winning
+    segments' scores per row ([B, k*segment]) and ``lax.top_k`` again.
+
+    This materializes the [B, N] scores in HBM (unlike :func:`fused_topk`)
+    but replaces XLA's full-row sort with two tiny ones — typically the
+    fastest exact path when the score matrix fits.
+    """
+    B, H = queries.shape
+    N = docs.shape[0]
+    if k > N:
+        raise ValueError(f"k={k} larger than corpus N={N}")
+    n_pad = (-N) % segment
+    compute_dtype = docs.dtype
+    precision = (
+        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    scores = jax.lax.dot_general(
+        queries.astype(compute_dtype), docs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [B, N]
+    if n_pad:
+        scores = jnp.pad(scores, ((0, 0), (0, n_pad)), constant_values=NEG_INF)
+    S = scores.shape[1] // segment
+    seg_scores = scores.reshape(B, S, segment)
+    seg_max = jnp.max(seg_scores, axis=-1)  # [B, S]
+
+    k_seg = min(k, S)
+    _, seg_idx = jax.lax.top_k(seg_max, k_seg)  # [B, k_seg]
+    cand = jnp.take_along_axis(seg_scores, seg_idx[..., None], axis=1)  # [B, k_seg, segment]
+    cand_ids = seg_idx[..., None] * segment + jnp.arange(segment)[None, None, :]
+    cand = cand.reshape(B, k_seg * segment)
+    cand_ids = cand_ids.reshape(B, k_seg * segment)
+
+    vals, loc = jax.lax.top_k(cand, k)
+    ids = jnp.take_along_axis(cand_ids, loc, axis=1).astype(jnp.int32)
+    # padding never wins (scores NEG_INF), but guard ids anyway
+    ids = jnp.where(vals <= NEG_INF, -1, ids)
+    return vals, ids
