@@ -1,0 +1,326 @@
+"""Distributed-path tests on the 8-device virtual CPU mesh: DP training
+equivalence, cross-device negatives, row-sharded embeddings (values AND
+gradients), distributed top-k, and the graft entry contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from twotowermlretrieval_tpu.config import Config
+from twotowermlretrieval_tpu.data.batching import Batch
+from twotowermlretrieval_tpu.models.rnn import RNNSpec, init_rnn_encoder, rnn_encode
+from twotowermlretrieval_tpu.models.two_tower import TwoTowerSpec, init_two_tower
+from twotowermlretrieval_tpu.parallel.distributed import (
+    make_distributed_eval_step,
+    make_distributed_train_step,
+    replicate_state,
+)
+from twotowermlretrieval_tpu.parallel.embedding import sharded_embedding_lookup
+from twotowermlretrieval_tpu.parallel.mesh import batch_sharding, make_mesh
+from twotowermlretrieval_tpu.parallel.topk import distributed_topk, shard_corpus
+from twotowermlretrieval_tpu.ops.topk import topk_oracle
+from twotowermlretrieval_tpu.train.train_step import (
+    create_train_state,
+    make_train_step,
+    merge_params,
+)
+
+
+def _config(**kw):
+    base = dict(
+        vocab_size=64,
+        embed_dim=16,
+        hidden_dim=16,
+        num_layers=1,
+        bidirectional=False,
+        dropout=0.0,
+        batch_size=16,
+        max_query_len=8,
+        max_doc_len=8,
+        compute_dtype="float32",
+        lr=1e-2,
+        loss_type="triplet",
+        cross_device_negatives=False,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _batch(rng, B, L=8, vocab=64):
+    def tok():
+        t = rng.integers(1, vocab, (B, L)).astype(np.int32)
+        return jnp.asarray(t)
+
+    lens = jnp.asarray(rng.integers(1, L + 1, (B,)).astype(np.int32))
+    return Batch(tok(), lens, tok(), lens, tok(), lens, jnp.ones((B,), jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# DP equivalence: distributed step == single-device step
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("loss_type", ["triplet", "triplet+in_batch"])
+def test_distributed_matches_single_device(loss_type):
+    """Distributed loss AND pmean-reduced gradients must equal the
+    single-device full-batch computation. (Post-Adam params are NOT directly
+    comparable: Adam's first step is ~±lr*sign(g), so fp reduction-order
+    noise on near-zero gradient components flips signs.)
+
+    For the in-batch loss, equivalence requires gathering negatives across
+    chips (B_local -> B_global)."""
+    from twotowermlretrieval_tpu.train.train_step import _forward_and_metrics, partition_params
+
+    config = _config(loss_type=loss_type, cross_device_negatives=True, dropout=0.0)
+    spec = TwoTowerSpec.from_config(config)
+    params = init_two_tower(jax.random.key(0), spec)
+    batch = _batch(np.random.default_rng(0), config.batch_size)
+    trainable, frozen = partition_params(params, config.freeze_embeddings)
+
+    def make_loss(axis_name):
+        def loss_fn(trainable, batch):
+            merged = merge_params(trainable, frozen)
+            loss, _ = _forward_and_metrics(
+                merged, batch, spec, config, None, train=False, axis_name=axis_name
+            )
+            return loss
+        return loss_fn
+
+    loss1, grads1 = jax.value_and_grad(make_loss(None))(trainable, batch)
+
+    mesh = make_mesh(data=8, model=1)
+
+    def dist_grad(trainable, batch):
+        loss, grads = jax.value_and_grad(make_loss("data"))(trainable, batch)
+        return jax.lax.pmean(loss, "data"), jax.lax.pmean(grads, "data")
+
+    mapped = jax.shard_map(
+        dist_grad, mesh=mesh, in_specs=(P(), _batch_p()), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    loss8, grads8 = mapped(trainable, batch)
+
+    assert abs(float(loss1) - float(loss8)) < 1e-6
+    chex = pytest.importorskip("chex")
+    chex.assert_trees_all_close(
+        jax.tree.map(np.asarray, grads1), jax.tree.map(np.asarray, grads8),
+        atol=1e-6, rtol=1e-5,
+    )
+
+
+def _batch_p():
+    return Batch(*([P("data")] * len(Batch._fields)))
+
+
+def test_distributed_train_step_runs_and_updates():
+    """End-to-end distributed step: state advances, loss finite, params move."""
+    config = _config(loss_type="triplet", dropout=0.0)
+    spec = TwoTowerSpec.from_config(config)
+    params = init_two_tower(jax.random.key(0), spec)
+    batch = _batch(np.random.default_rng(0), config.batch_size)
+    mesh = make_mesh(data=8, model=1)
+    state = create_train_state(jax.random.key(1), jax.tree.map(jnp.array, params), config)
+    state = replicate_state(state, mesh)
+    before = np.asarray(state.trainable["query"]["layers"][0]["fwd"]["w_ih"]).copy()
+    dist = make_distributed_train_step(spec, config, mesh, state)
+    dev_batch = jax.tree.map(lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+    state, metrics = dist(state, dev_batch)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    after = np.asarray(state.trainable["query"]["layers"][0]["fwd"]["w_ih"])
+    assert np.abs(after - before).max() > 0
+
+
+def test_cross_device_negatives_change_loss():
+    """With in-batch loss, gathering negatives across chips must change the
+    per-chip loss (B_local=2 -> B_global=16 negatives)."""
+    config = _config(loss_type="in_batch", batch_size=16)
+    spec = TwoTowerSpec.from_config(config)
+    params = init_two_tower(jax.random.key(0), spec)
+    batch = _batch(np.random.default_rng(0), config.batch_size)
+    mesh = make_mesh(data=8, model=1)
+    dev_batch = jax.tree.map(lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+
+    losses = {}
+    for flag in (False, True):
+        cfg = config.replace(cross_device_negatives=flag)
+        state = create_train_state(jax.random.key(1), jax.tree.map(jnp.array, params), cfg)
+        state = replicate_state(state, mesh)
+        step = make_distributed_train_step(spec, cfg, mesh, state)
+        _, metrics = step(state, dev_batch)
+        losses[flag] = float(metrics["loss"])
+    # more negatives -> harder task -> larger softmax loss
+    assert losses[True] > losses[False]
+
+
+def test_cross_device_in_batch_matches_global():
+    """in_batch loss with all_gather over 8 chips == single-device loss on
+    the full batch (the whole point of cross-device negative sharing)."""
+    from twotowermlretrieval_tpu.models.losses import in_batch_softmax_loss
+
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(16, 8)).astype(np.float32)
+    d = rng.normal(size=(16, 8)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    global_loss = float(in_batch_softmax_loss(jnp.asarray(q), jnp.asarray(d), 0.1))
+
+    mesh = make_mesh(data=8, model=1)
+    mapped = jax.shard_map(
+        lambda q, d: in_batch_softmax_loss(q, d, 0.1, axis_name="data").reshape(1),
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    per_chip = np.asarray(mapped(jnp.asarray(q), jnp.asarray(d)))
+    assert per_chip.shape == (8,)
+    assert abs(per_chip.mean() - global_loss) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# row-sharded embedding
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_embedding_lookup_matches_take():
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(0, 64, (4, 8)).astype(np.int32))
+
+    mapped = jax.shard_map(
+        lambda t, tok: sharded_embedding_lookup(t, tok, "model"),
+        mesh=mesh,
+        in_specs=(P("model", None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    out = np.asarray(mapped(table, tokens))
+    ref = np.asarray(jnp.take(table, tokens, axis=0))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_sharded_embedding_gradient_matches():
+    """Backward through the psum+masked-gather must equal the dense
+    scatter-add gradient (per-shard rows only)."""
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(0, 64, (4, 8)).astype(np.int32))
+    target = jnp.asarray(rng.normal(size=(4, 8, 16)).astype(np.float32))
+
+    def dense_loss(table):
+        x = jnp.take(table, tokens, axis=0)
+        return jnp.sum((x - target) ** 2)
+
+    ref_grad = np.asarray(jax.grad(dense_loss)(table))
+
+    def sharded_loss(table_shard):
+        x = sharded_embedding_lookup(table_shard, tokens, "model")
+        return jnp.sum((x - target) ** 2)
+
+    mapped = jax.shard_map(
+        jax.grad(sharded_loss),
+        mesh=mesh,
+        in_specs=(P("model", None),),
+        out_specs=P("model", None),
+        check_vma=False,
+    )
+    grad = np.asarray(mapped(table))
+    np.testing.assert_allclose(grad, ref_grad, rtol=1e-5, atol=1e-6)
+
+
+def test_rnn_encode_with_sharded_table():
+    """Full encoder under shard_map with a row-sharded table == dense."""
+    mesh = make_mesh(data=1, model=8)
+    spec_dense = RNNSpec(vocab_size=64, embed_dim=16, hidden_dim=16,
+                         normalize_output=True, compute_dtype="float32")
+    spec_sharded = RNNSpec(vocab_size=64, embed_dim=16, hidden_dim=16,
+                           normalize_output=True, compute_dtype="float32",
+                           embedding_axis="model")
+    params = init_rnn_encoder(jax.random.key(0), spec_dense)
+    rng = np.random.default_rng(4)
+    tokens = jnp.asarray(rng.integers(1, 64, (4, 8)).astype(np.int32))
+    lengths = jnp.asarray(rng.integers(1, 9, (4,)).astype(np.int32))
+    ref = np.asarray(rnn_encode(params, tokens, lengths, spec_dense))
+
+    param_specs = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: P("model", None)
+        if any(isinstance(p, jax.tree_util.DictKey) and p.key == "embedding" for p in path)
+        else P(),
+        params,
+    )
+    mapped = jax.shard_map(
+        lambda p, t, l: rnn_encode(p, t, l, spec_sharded),
+        mesh=mesh,
+        in_specs=(param_specs, P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    out = np.asarray(mapped(params, tokens, lengths))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# distributed top-k
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_topk_matches_oracle():
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    d = rng.normal(size=(1000, 16)).astype(np.float32)  # not a multiple of 8
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    docs_sharded, n_valid = shard_corpus(d, mesh)
+    vals, ids = distributed_topk(
+        jnp.asarray(q), docs_sharded, k=20, mesh=mesh, n_valid=n_valid,
+        use_pallas=False,
+    )
+    ref_vals, ref_ids = topk_oracle(jnp.asarray(q), jnp.asarray(d), 20)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+    assert (np.asarray(ids) < 1000).all()
+
+
+def test_distributed_topk_all_negative_scores():
+    # padding rows must not leak in when all real scores are negative
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(6)
+    q = -np.abs(rng.normal(size=(2, 8))).astype(np.float32)
+    d = np.abs(rng.normal(size=(333, 8))).astype(np.float32)
+    docs_sharded, n_valid = shard_corpus(d, mesh)
+    vals, ids = distributed_topk(
+        jnp.asarray(q), docs_sharded, k=5, mesh=mesh, n_valid=n_valid, use_pallas=False
+    )
+    assert (np.asarray(ids) < 333).all()
+    assert (np.asarray(vals) < 0).all()
+
+
+# ---------------------------------------------------------------------------
+# graft entry contract
+# ---------------------------------------------------------------------------
+
+
+def test_graft_entry_forward():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fwd, args = ge.entry()
+    q, d = jax.jit(fwd)(*args)
+    assert q.shape[0] == d.shape[0]
+    assert np.isfinite(np.asarray(q)).all()
+
+
+def test_graft_entry_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

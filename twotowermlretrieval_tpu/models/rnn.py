@@ -68,6 +68,9 @@ class RNNSpec:
     bidirectional: bool = False
     normalize_output: bool = True
     compute_dtype: str = "bfloat16"
+    # Row-shard the embedding table over this mesh axis (inside shard_map);
+    # None -> table is local/replicated and lookup is a plain gather.
+    embedding_axis: Optional[str] = None
 
     def __post_init__(self):
         if self.rnn_type not in _GATES:
@@ -89,6 +92,7 @@ class RNNSpec:
             bidirectional=config.bidirectional,
             normalize_output=config.normalize_output,
             compute_dtype=config.compute_dtype,
+            embedding_axis="model" if config.shard_embedding_table else None,
         )
 
 
@@ -222,7 +226,12 @@ def rnn_encode(
     B, T = tokens.shape
     H = spec.hidden_dim
 
-    x = jnp.take(params["embedding"], tokens, axis=0)  # [B, T, E] f32
+    if spec.embedding_axis is not None:
+        from twotowermlretrieval_tpu.parallel.embedding import sharded_embedding_lookup
+
+        x = sharded_embedding_lookup(params["embedding"], tokens, spec.embedding_axis)
+    else:
+        x = jnp.take(params["embedding"], tokens, axis=0)  # [B, T, E] f32
     # [T, B, 1] time-major mask from lengths
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
     mask = (t_idx < lengths[None, :]).astype(jnp.float32)[..., None]

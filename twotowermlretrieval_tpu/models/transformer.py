@@ -35,6 +35,7 @@ class TransformerSpec:
     normalize_output: bool = True
     compute_dtype: str = "bfloat16"
     max_len: int = 512  # learned positional table size
+    embedding_axis: Optional[str] = None  # row-shard table over this axis
 
     def __post_init__(self):
         if self.hidden_dim % self.num_heads != 0:
@@ -57,6 +58,7 @@ class TransformerSpec:
             normalize_output=config.normalize_output,
             compute_dtype=config.compute_dtype,
             max_len=max(config.max_doc_len, config.max_query_len),
+            embedding_axis="model" if config.shard_embedding_table else None,
         )
 
 
@@ -144,7 +146,12 @@ def transformer_encode(
     valid = (t_idx < lengths[:, None]).astype(jnp.float32)  # [B, T]
     attn_bias = (1.0 - valid)[:, None, None, :] * -1e9  # [B, 1, 1, T]
 
-    x = jnp.take(params["embedding"], tokens, axis=0)  # [B, T, E]
+    if spec.embedding_axis is not None:
+        from twotowermlretrieval_tpu.parallel.embedding import sharded_embedding_lookup
+
+        x = sharded_embedding_lookup(params["embedding"], tokens, spec.embedding_axis)
+    else:
+        x = jnp.take(params["embedding"], tokens, axis=0)  # [B, T, E]
     x = _dense(x, params["input_proj"], cdt) + params["pos_embedding"][:T][None, :, :]
 
     rng = dropout_rng

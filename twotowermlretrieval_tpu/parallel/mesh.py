@@ -1,0 +1,67 @@
+"""Device mesh construction and common shardings.
+
+The reference is strictly single-device (device autodetect only,
+ref: backend/main.py:60-66; no torch.distributed anywhere — SURVEY.md §2b).
+The TPU build's distribution story is a 2-D ``('data', 'model')`` mesh:
+
+- ``data``  — batch-sharded SPMD training (gradient psum over ICI) and
+  corpus-sharded retrieval;
+- ``model`` — row-sharded embedding tables (the project's "EP" axis) and,
+  for transformer towers, head/FFN sharding headroom.
+
+Multi-host bootstrap is ``jax.distributed.initialize`` + the same code: the
+mesh spans all global devices and GSPMD/shard_map place collectives on ICI
+within a slice and DCN across slices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices=None,
+) -> Mesh:
+    """('data', 'model') mesh. data=-1 -> all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-dim batch split across 'data' (replicated over 'model')."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def embedding_row_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-shard a [V, E] table across the 'model' axis (BASELINE config 3)."""
+    return NamedSharding(mesh, P(MODEL_AXIS, None))
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None, **kwargs) -> None:
+    """Multi-host process bootstrap (no-op if already initialized). In a real
+    pod deployment each host calls this before building the mesh."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+    except (RuntimeError, ValueError) as e:
+        # already initialized, or single-process run
+        print(f"jax.distributed.initialize skipped: {e}")

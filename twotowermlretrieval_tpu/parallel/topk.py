@@ -1,0 +1,89 @@
+"""Distributed top-k retrieval over a corpus sharded across the mesh.
+
+Each device holds a corpus shard [N/D, H]; a query batch is replicated,
+every device runs the local exact top-k (the fused Pallas kernel on TPU,
+the segmented XLA path elsewhere), and per-shard (values, global ids) are
+all-gathered and merged with one small ``lax.top_k`` — the cross-shard
+merge is O(D * k) per query, wire traffic ``D * B * k * 8`` bytes over ICI.
+
+Replaces (and scales past) the reference's single-host ChromaDB collection
+(ref: frontend/main.py:74-76, 153-156); this is BASELINE.json config 4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from twotowermlretrieval_tpu.ops.topk import fused_topk, topk_segmented
+from twotowermlretrieval_tpu.parallel.mesh import DATA_AXIS
+
+
+def _local_topk(queries, docs_shard, k, use_pallas, interpret):
+    if use_pallas:
+        return fused_topk(queries, docs_shard, k=k, interpret=interpret)
+    return topk_segmented(queries, docs_shard, k=k)
+
+
+def distributed_topk(
+    queries: jax.Array,  # [B, H] (replicated)
+    docs_sharded: jax.Array,  # [N, H] sharded on dim 0 over 'data'
+    k: int,
+    mesh: Mesh,
+    n_valid: int | None = None,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over the sharded corpus. Returns replicated
+    ([B, k] values, [B, k] global ids). ``n_valid`` is the true corpus size
+    when the sharded array carries zero-padding rows (shard_corpus); padded
+    rows are masked out before the merge (a zero embedding scores 0.0,
+    which would otherwise beat real negative similarities)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    num_shards = mesh.shape[DATA_AXIS]
+    shard_rows = docs_sharded.shape[0] // num_shards
+    if n_valid is None:
+        n_valid = docs_sharded.shape[0]
+
+    def local(queries, docs_shard):
+        vals, ids = _local_topk(queries, docs_shard, k, use_pallas, interpret)
+        ids = ids + jax.lax.axis_index(DATA_AXIS) * shard_rows  # global ids
+        vals = jnp.where(ids < n_valid, vals, jnp.float32(-3.0e38))
+        # gather per-shard candidates: [D*k] per row
+        all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)  # [B, D*k]
+        all_ids = jax.lax.all_gather(ids, DATA_AXIS, axis=1, tiled=True)
+        merged_vals, pos = jax.lax.top_k(all_vals, k)
+        merged_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+        return merged_vals, merged_ids
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, static_argnums=())(queries, docs_sharded)
+
+
+def shard_corpus(doc_embeddings, mesh: Mesh):
+    """Place [N, H] corpus row-sharded over 'data', zero-padding N to a
+    multiple of the shard count. Returns (sharded array, true N) — pass the
+    true N to distributed_topk(n_valid=...) so padding rows are masked."""
+    import numpy as np
+
+    num = mesh.shape[DATA_AXIS]
+    N, H = doc_embeddings.shape
+    pad = (-N) % num
+    if pad:
+        doc_embeddings = np.concatenate(
+            [doc_embeddings, np.zeros((pad, H), doc_embeddings.dtype)], axis=0
+        )
+    return jax.device_put(
+        jnp.asarray(doc_embeddings), NamedSharding(mesh, P(DATA_AXIS, None))
+    ), N
