@@ -1,0 +1,224 @@
+"""Serving-layer tests: index, inferencer, hybrid engine, HTTP contract.
+
+An artifact directory is produced by a short real training run on the
+synthetic corpus (module fixture), then every layer of the serving stack is
+exercised against it — including a live ThreadingHTTPServer hit over a real
+socket with the reference's request/response contract.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from twotowermlretrieval_tpu.serve.engine import SearchEngine
+from twotowermlretrieval_tpu.serve.index import RetrievalIndex
+from twotowermlretrieval_tpu.serve.inferencer import QueryInferencer
+from twotowermlretrieval_tpu.serve.simple_hybrid import SimpleHybridRetriever
+
+
+@pytest.fixture(scope="module")
+def artifacts_dir(tmp_path_factory):
+    from twotowermlretrieval_tpu.data.synthetic import generate_corpus, synthetic_config
+    from twotowermlretrieval_tpu.train.loop import train
+
+    out = tmp_path_factory.mktemp("serve_synth")
+    generate_corpus(out, num_queries=80, num_topics=8, words_per_topic=15, embed_dim=16)
+    config = synthetic_config(out, hidden_dim=16, lr=5e-3, epochs=2, batch_size=16)
+    results = train(config, output_root=out / "artifacts", run_name="serve-test")
+    return results["artifacts_dir"]
+
+
+# ---------------------------------------------------------------------------
+# index
+# ---------------------------------------------------------------------------
+
+
+def test_index_matches_oracle(rng):
+    from twotowermlretrieval_tpu.ops.topk import topk_oracle
+    import jax.numpy as jnp
+
+    d = rng.normal(size=(500, 16)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    index = RetrievalIndex(d, storage_dtype="float32", use_pallas=False)
+    vals, ids = index.search(q, k=20)
+    ref_vals, ref_ids = topk_oracle(jnp.asarray(q), jnp.asarray(d), 20)
+    np.testing.assert_array_equal(ids, np.asarray(ref_ids))
+    np.testing.assert_allclose(vals, np.asarray(ref_vals), rtol=1e-5)
+
+
+def test_index_single_query_padding(rng):
+    d = rng.normal(size=(100, 8)).astype(np.float32)
+    index = RetrievalIndex(d, storage_dtype="float32", use_pallas=False)
+    vals, ids = index.search(d[7][None, :], k=5)
+    assert vals.shape == (1, 5)
+    assert ids[0, 0] == 7  # a doc is its own nearest neighbor
+
+
+def test_index_k_capped_at_corpus(rng):
+    d = rng.normal(size=(10, 8)).astype(np.float32)
+    index = RetrievalIndex(d, storage_dtype="float32", use_pallas=False)
+    vals, ids = index.search(d[:2], k=50)
+    assert vals.shape == (2, 10)
+
+
+# ---------------------------------------------------------------------------
+# inferencer
+# ---------------------------------------------------------------------------
+
+
+def test_inferencer_contract(artifacts_dir):
+    inf = QueryInferencer(artifacts_dir)
+    emb = inf.get_query_embedding("t0w1 t0w2")
+    assert emb.shape == (inf.config.hidden_dim,)
+    assert abs(np.linalg.norm(emb) - 1.0) < 1e-5
+    # token-less query -> zero vector (ref: query_inferencer.py:65-69)
+    zero = inf.get_query_embedding("")
+    np.testing.assert_array_equal(zero, 0.0)
+    # batched variant consistent with single
+    batch = inf.get_query_embeddings(["t0w1 t0w2", "t1w3"])
+    np.testing.assert_allclose(batch[0], emb, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def engine(artifacts_dir):
+    return SearchEngine(artifacts_dir, storage_dtype="float32", use_pallas=False)
+
+
+def test_engine_response_contract(engine):
+    out = engine.search("t0w1 t0w2 t0w3", alpha=0.5)
+    assert set(out) >= {"query", "alpha", "results"}
+    assert out["alpha"] == 0.5
+    assert 1 <= len(out["results"]) <= 10
+    first = out["results"][0]
+    assert set(first) == {"rank", "id", "doc", "score", "dense_score", "tfidf_score"}
+    assert first["rank"] == 1 and first["id"] == "result-1"
+    # blend identity: score == alpha*dense + (1-alpha)*tfidf
+    for r in out["results"]:
+        assert abs(r["score"] - (0.5 * r["dense_score"] + 0.5 * r["tfidf_score"])) < 1e-6
+    # sorted descending
+    scores = [r["score"] for r in out["results"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_engine_alpha_zero_pure_keyword(engine):
+    out = engine.search("t3w1 t3w2", alpha=0.0)
+    for r in out["results"]:
+        assert r["dense_score"] == 0.0
+        assert r["score"] == r["tfidf_score"] > 1e-5  # filter (ref :143)
+        assert "t3w1" in r["doc"] or "t3w2" in r["doc"]  # actual keyword match
+
+
+def test_engine_alpha_one_pure_dense(engine):
+    out = engine.search("t2w1 t2w4", alpha=1.0)
+    for r in out["results"]:
+        assert abs(r["score"] - r["dense_score"]) < 1e-6
+
+
+def test_engine_retrieves_on_topic(engine):
+    """A trained model must surface on-topic docs for a topical query."""
+    out = engine.search("t1w1 t1w2 t1w3 t1w4", alpha=1.0)
+    top = out["results"][:3]
+    on_topic = sum(1 for r in top if "t1w" in r["doc"])
+    assert on_topic >= 2
+
+
+def test_engine_oov_query(engine):
+    out = engine.search("zzz yyy qqq", alpha=0.5)
+    # OOV -> UNK embedding still searches; tfidf zero-guard exercised
+    for r in out["results"]:
+        assert r["tfidf_score"] == 0.0
+    out0 = engine.search("zzz yyy qqq", alpha=0.0)
+    assert out0["results"] == []  # no keyword match at all
+
+
+# ---------------------------------------------------------------------------
+# HTTP app contract over a real socket
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def server_url(artifacts_dir):
+    from twotowermlretrieval_tpu.serve.app import serve
+
+    server = serve(str(artifacts_dir), port=0, host="127.0.0.1",
+                   storage_dtype="float32", use_pallas=False)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/search", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read()), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}"), dict(e.headers)
+
+
+def test_http_search_contract(server_url):
+    status, data, headers = _post(server_url, {"query": "t0w1 t0w2", "alpha": 0.7})
+    assert status == 200
+    assert data["query"] == "t0w1 t0w2" and data["alpha"] == 0.7
+    assert headers.get("Access-Control-Allow-Origin") == "*"
+    assert all(r["rank"] == i + 1 for i, r in enumerate(data["results"]))
+
+
+def test_http_default_alpha(server_url):
+    status, data, _ = _post(server_url, {"query": "t0w1"})
+    assert status == 200 and data["alpha"] == 0.5  # ref default (frontend/main.py:82)
+
+
+def test_http_bad_request(server_url):
+    status, data, _ = _post(server_url, {"alpha": 0.5})  # missing query
+    assert status == 400 and "error" in data
+    status, data, _ = _post(server_url, {"query": "x", "alpha": "not-a-float"})
+    assert status == 400
+
+
+def test_http_serves_ui(server_url):
+    with urllib.request.urlopen(server_url + "/") as resp:
+        body = resp.read().decode()
+    assert resp.status == 200
+    assert "<html" in body.lower() and "/search" in body
+
+
+def test_http_health(server_url):
+    with urllib.request.urlopen(server_url + "/health") as resp:
+        data = json.loads(resp.read())
+    assert data["status"] == "ok" and data["num_docs"] > 0
+
+
+# ---------------------------------------------------------------------------
+# simple hybrid retriever
+# ---------------------------------------------------------------------------
+
+
+def test_simple_hybrid(artifacts_dir):
+    docs = [
+        "t0w1 t0w2 t0w3 machine learning",
+        "t1w1 t1w2 neural networks",
+        "t2w1 t2w2 language processing",
+        "t3w1 t3w2 computer vision",
+    ]
+    retriever = SimpleHybridRetriever(artifacts_dir, alpha=0.5, use_pallas=False)
+    with pytest.raises(RuntimeError):
+        retriever.search("x")
+    retriever.fit(docs)
+    results = retriever.search("t1w1 t1w2", top_k=2)
+    assert len(results) == 2
+    assert results[0][0] == docs[1]  # exact keyword+topic match wins
+    assert results[0][1] >= results[1][1]

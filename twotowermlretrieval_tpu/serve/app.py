@@ -1,0 +1,118 @@
+"""HTTP serving app — the reference's FastAPI surface on the stdlib.
+
+HTTP contract is identical to the reference (ref: frontend/main.py):
+
+- ``GET /``        -> the search UI (frontend/index.html), 404 page if
+                      missing (frontend/main.py:93-100);
+- ``POST /search`` -> body ``{"query": str, "alpha": float}``
+                      (frontend/main.py:80-82) -> response ``{query, alpha,
+                      results: [{rank, id, doc, score, dense_score,
+                      tfidf_score}]}`` (frontend/main.py:203-210);
+- permissive CORS on every response (frontend/main.py:84-91).
+
+Built on ``http.server.ThreadingHTTPServer`` because the environment has no
+fastapi/uvicorn; the engine itself is thread-safe (read-only state after
+init, device calls serialized by JAX). Missing-artifact startup failures
+exit(1) with a pointer to training, like the reference's guards
+(frontend/main.py:31-34, 46-49, 56-59).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+from twotowermlretrieval_tpu.serve.engine import SearchEngine
+
+_UI_CANDIDATES = (
+    Path(__file__).resolve().parent.parent.parent / "frontend" / "index.html",
+)
+
+
+def make_handler(engine: SearchEngine, ui_path: Path | None):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, body: bytes, content_type: str):
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            # permissive CORS (ref: frontend/main.py:84-91)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "*")
+            self.send_header("Access-Control-Allow-Headers", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, payload, code: int = 200):
+            self._send(code, json.dumps(payload).encode(), "application/json")
+
+        def do_OPTIONS(self):  # CORS preflight
+            self._send(204, b"", "text/plain")
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                if ui_path and ui_path.exists():
+                    self._send(200, ui_path.read_bytes(), "text/html")
+                else:
+                    self._send(404, b"<h1>Frontend not found</h1>", "text/html")
+            elif self.path == "/health":
+                self._send_json({"status": "ok", "num_docs": engine.index.num_docs})
+            else:
+                self._send_json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            if self.path != "/search":
+                self._send_json({"error": "not found"}, 404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                query = payload["query"]
+                alpha = float(payload.get("alpha", 0.5))
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send_json({"error": f"bad request: {e}"}, 400)
+                return
+            try:
+                response = engine.search(query, alpha=alpha)
+            except Exception as e:  # noqa: BLE001 — surface, don't crash the server
+                self._send_json({"error": str(e)}, 500)
+                return
+            self._send_json(response)
+
+        def log_message(self, fmt, *args):  # quiet default access log
+            pass
+
+    return Handler
+
+
+def serve(artifacts_path: str, port: int = 8888, host: str = "0.0.0.0", **engine_kwargs):
+    if not Path(artifacts_path).exists():
+        print(f"FATAL: artifacts directory not found at {artifacts_path}")
+        print("Train a model first: python -m twotowermlretrieval_tpu.train.loop --config <json>")
+        sys.exit(1)
+    try:
+        engine = SearchEngine(artifacts_path, **engine_kwargs)
+    except FileNotFoundError as e:
+        print(f"FATAL: incomplete artifacts: {e}")
+        print("Re-run training to regenerate the artifact directory.")
+        sys.exit(1)
+
+    ui_path = next((p for p in _UI_CANDIDATES if p.exists()), None)
+    server = ThreadingHTTPServer((host, port), make_handler(engine, ui_path))
+    print(f"serving {engine.index.num_docs} docs on http://{host}:{port}")
+    return server
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Two-tower hybrid search server")
+    parser.add_argument("--artifacts", "-a", required=True)
+    parser.add_argument("--port", "-p", type=int, default=8888)
+    parser.add_argument("--host", default="0.0.0.0")
+    args = parser.parse_args()
+    serve(args.artifacts, port=args.port, host=args.host).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

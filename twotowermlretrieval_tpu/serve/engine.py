@@ -1,0 +1,128 @@
+"""Hybrid search engine: dense top-k -> TF-IDF blend -> ranked results.
+
+Implements the reference's two /search branches exactly
+(ref: frontend/main.py:102-210):
+
+- ``alpha == 0.0`` -> pure corpus-wide keyword search: TF-IDF cosine against
+  the full matrix, top-10 via argpartition, scores <= 1e-5 dropped
+  (frontend/main.py:119-147);
+- otherwise -> hybrid: query-tower embedding, dense top-``fanout`` (50) from
+  the device index, semantic score = cosine (== the reference's
+  ``1 - distance``, frontend/main.py:162), TF-IDF cosine for those docs,
+  ``final = alpha * dense + (1 - alpha) * tfidf`` (frontend/main.py:187),
+  sort, top-10.
+
+Fixed reference quirk (SURVEY.md §7): the fanout docs' TF-IDF rows come
+from the precomputed matrix via the doc->index map instead of re-vectorizing
+the 50 texts per request (the reference builds ``doc_to_index`` then never
+uses it — frontend/main.py:69-70 vs 170-171). Same values, less host work.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from twotowermlretrieval_tpu.ops.tfidf import cosine_similarity, hybrid_blend
+from twotowermlretrieval_tpu.serve.index import RetrievalIndex
+from twotowermlretrieval_tpu.serve.inferencer import QueryInferencer
+from twotowermlretrieval_tpu.train.artifacts import load_artifacts
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        artifacts_path: str | Path,
+        mesh=None,
+        storage_dtype: str = "bfloat16",
+        use_pallas: Optional[bool] = None,
+        interpret: bool = False,
+    ):
+        loaded = load_artifacts(artifacts_path, require_index=True)
+        self.config = loaded.config
+        self.documents = loaded.documents
+        self.tfidf_vectorizer = loaded.tfidf_vectorizer
+        self.tfidf_matrix = loaded.tfidf_matrix
+        self.inferencer = QueryInferencer(artifacts_path)
+        self.index = RetrievalIndex(
+            loaded.doc_embeddings,
+            storage_dtype=storage_dtype,
+            mesh=mesh,
+            use_pallas=use_pallas,
+            interpret=interpret,
+        )
+
+    # ------------------------------------------------------------------
+    def search(
+        self, query: str, alpha: float = 0.5, top_k: int = 10, fanout: int = 50
+    ) -> Dict:
+        """One query -> the reference's response payload
+        ({query, alpha, results: [{rank, id, doc, score, dense_score,
+        tfidf_score}]}, ref: frontend/main.py:203-210)."""
+        start = time.time()
+        if alpha == 0.0:
+            results = self._keyword_search(query, top_k)
+        else:
+            results = self._hybrid_search(query, alpha, top_k, fanout)
+        elapsed_ms = (time.time() - start) * 1000
+        return {
+            "query": query,
+            "alpha": alpha,
+            "took_ms": elapsed_ms,
+            "results": [
+                {"rank": i + 1, "id": f"result-{i + 1}", **res}
+                for i, res in enumerate(results)
+            ],
+        }
+
+    # ------------------------------------------------------------------
+    def _keyword_search(self, query: str, top_k: int) -> List[Dict]:
+        """Pure TF-IDF branch (ref: frontend/main.py:119-147)."""
+        query_tfidf = self.tfidf_vectorizer.transform([query])
+        all_sims = cosine_similarity(query_tfidf, self.tfidf_matrix).ravel()
+        if len(all_sims) > top_k:
+            top = np.argpartition(all_sims, -top_k)[-top_k:]
+            order = top[np.argsort(all_sims[top])[::-1]]
+        else:
+            order = np.argsort(all_sims)[::-1]
+        results = []
+        for idx in order:
+            score = float(all_sims[idx])
+            if score > 1e-5:  # only actual keyword matches (ref :143)
+                results.append(
+                    {
+                        "doc": self.documents[idx],
+                        "score": score,
+                        "dense_score": 0.0,
+                        "tfidf_score": score,
+                    }
+                )
+        return results
+
+    def _hybrid_search(self, query: str, alpha: float, top_k: int, fanout: int) -> List[Dict]:
+        """Dense top-fanout + TF-IDF re-rank (ref: frontend/main.py:149-198)."""
+        query_emb = self.inferencer.get_query_embedding(query)
+        dense_scores, doc_ids = self.index.search(query_emb[None, :], k=fanout)
+        dense_scores, doc_ids = dense_scores[0], doc_ids[0]
+
+        query_tfidf = self.tfidf_vectorizer.transform([query])
+        if query_tfidf.nnz > 0:
+            doc_rows = self.tfidf_matrix[doc_ids]  # precomputed rows (quirk fix)
+            tfidf_scores = np.nan_to_num(cosine_similarity(query_tfidf, doc_rows)[0])
+        else:
+            tfidf_scores = np.zeros(len(doc_ids))
+
+        final = hybrid_blend(dense_scores, tfidf_scores, alpha)
+        order = np.argsort(final)[::-1][:top_k]
+        return [
+            {
+                "doc": self.documents[doc_ids[i]],
+                "score": float(final[i]),
+                "dense_score": float(dense_scores[i]),
+                "tfidf_score": float(tfidf_scores[i]),
+            }
+            for i in order
+        ]

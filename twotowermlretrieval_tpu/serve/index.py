@@ -1,0 +1,80 @@
+"""Device-side retrieval index over raw document embeddings.
+
+Replaces the reference's ChromaDB HNSW collection + offline indexing
+notebook (ref: frontend/main.py:74-76, 153-156; frontend/save_to_chromaDB.ipynb):
+the corpus embedding matrix lives in device HBM (bf16 by default — halves
+the bandwidth per query) and every search is an exact fused score+top-k
+(ops.topk.fused_topk on TPU, topk_segmented elsewhere). No approximate
+index to build, persist, or tune; "indexing" is one device_put.
+
+Scores are inner products == cosine for normalized towers, matching the
+reference's ``1 - distance`` (frontend/main.py:162).
+
+With a multi-device mesh the corpus is row-sharded over 'data' and searches
+run through parallel.topk.distributed_topk (BASELINE config 4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from twotowermlretrieval_tpu.ops.topk import fused_topk, topk_segmented
+
+_SUBLANE = 8  # pad query batches to a VPU-friendly multiple
+
+
+class RetrievalIndex:
+    def __init__(
+        self,
+        doc_embeddings: np.ndarray,  # [N, H] f32 (host)
+        storage_dtype: str = "bfloat16",
+        mesh=None,
+        use_pallas: Optional[bool] = None,
+        interpret: bool = False,
+    ):
+        self.num_docs = int(doc_embeddings.shape[0])
+        self.dim = int(doc_embeddings.shape[1])
+        self.mesh = mesh
+        self.interpret = interpret
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        dtype = jnp.dtype(storage_dtype)
+        if mesh is not None:
+            from twotowermlretrieval_tpu.parallel.topk import shard_corpus
+
+            self._docs, self._n_valid = shard_corpus(
+                np.asarray(doc_embeddings, np.float32).astype(dtype), mesh
+            )
+        else:
+            self._docs = jnp.asarray(np.asarray(doc_embeddings)).astype(dtype)
+            self._n_valid = self.num_docs
+
+    def search(self, query_embeddings: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """[B, H] queries -> ([B, k] scores, [B, k] doc ids), exact,
+        sorted descending. Replaces ``collection.query(n_results=k)``
+        (ref: frontend/main.py:153-156)."""
+        q = np.atleast_2d(np.asarray(query_embeddings, np.float32))
+        B = q.shape[0]
+        k = min(k, self.num_docs)
+        pad = (-B) % _SUBLANE
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)], axis=0)
+        qj = jnp.asarray(q).astype(self._docs.dtype)
+
+        if self.mesh is not None:
+            from twotowermlretrieval_tpu.parallel.topk import distributed_topk
+
+            vals, ids = distributed_topk(
+                qj, self._docs, k=k, mesh=self.mesh, n_valid=self._n_valid,
+                use_pallas=self.use_pallas, interpret=self.interpret,
+            )
+        elif self.use_pallas:
+            vals, ids = fused_topk(qj, self._docs, k=k, interpret=self.interpret)
+        else:
+            vals, ids = topk_segmented(qj, self._docs, k=k)
+        return np.asarray(vals)[:B], np.asarray(ids)[:B]
