@@ -1,0 +1,194 @@
+#!/usr/bin/env python3
+"""Headline benchmark: triplet training throughput, TPU vs PyTorch reference.
+
+Prints exactly ONE JSON line to stdout:
+    {"metric": "triplet_train_throughput", "value": <examples/s/chip>,
+     "unit": "examples/s/chip", "vs_baseline": <tpu / torch-reference>}
+
+Protocol (BASELINE.md): the reference publishes no numbers, so the baseline
+is self-generated — an equivalent PyTorch training step (frozen-embedding
+bidirectional 2-layer GRU towers, pack_padded_sequence, cosine triplet
+loss, Adam + clip, the reference's default architecture
+backend/config.json:9-24) measured live on this host, against our jitted
+TPU train step at the same model size, batch size, and length distribution.
+
+Timing notes: on this environment device dispatch is async and any host
+fetch pays a ~24ms relay round-trip, so the TPU measurement enqueues M
+steps back-to-back and differences two run lengths to cancel the RTT.
+Secondary details (per-step times, retrieval latency) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# --- benchmark configuration: the reference's default architecture -------
+VOCAB = 50_000
+EMBED_DIM = 100  # GloVe-100d (notebooks/embeddings_processing.ipynb)
+HIDDEN_DIM = 256  # backend/config.json:12
+NUM_LAYERS = 2  # backend/config.json:14
+BIDIRECTIONAL = True  # backend/config.json:15
+BATCH = 64  # backend/config.json:19
+LR = 5e-5  # backend/config.json:21
+MARGIN = 0.5  # backend/config.json:23
+MAX_QUERY_LEN = 32
+MAX_DOC_LEN = 128
+SEED = 0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_host_batch(rng):
+    """MS MARCO-like length distribution: short queries, long passages."""
+    def tokens(batch, max_len, mean_len):
+        lengths = np.clip(rng.normal(mean_len, mean_len / 3, batch).astype(np.int32), 2, max_len)
+        toks = rng.integers(1, VOCAB, (batch, max_len)).astype(np.int32)
+        for i, L in enumerate(lengths):
+            toks[i, L:] = 0
+        return toks, lengths
+
+    q, ql = tokens(BATCH, MAX_QUERY_LEN, 7)
+    p, pl = tokens(BATCH, MAX_DOC_LEN, 60)
+    n, nl = tokens(BATCH, MAX_DOC_LEN, 60)
+    return q, ql, p, pl, n, nl
+
+
+# ---------------------------------------------------------------------------
+# TPU side
+# ---------------------------------------------------------------------------
+
+
+def bench_tpu(host_batch, table) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from twotowermlretrieval_tpu.config import Config
+    from twotowermlretrieval_tpu.data.batching import Batch
+    from twotowermlretrieval_tpu.models.two_tower import TwoTowerSpec, init_two_tower
+    from twotowermlretrieval_tpu.train.train_step import create_train_state, make_train_step
+
+    config = Config(
+        vocab_size=VOCAB, embed_dim=EMBED_DIM, hidden_dim=HIDDEN_DIM,
+        num_layers=NUM_LAYERS, bidirectional=BIDIRECTIONAL, dropout=0.2,
+        batch_size=BATCH, lr=LR, margin=MARGIN, loss_type="triplet",
+        max_query_len=MAX_QUERY_LEN, max_doc_len=MAX_DOC_LEN,
+        compute_dtype="bfloat16", freeze_embeddings=True,
+    )
+    spec = TwoTowerSpec.from_config(config)
+    params = init_two_tower(jax.random.key(SEED), spec, pretrained_embeddings=table)
+    state = create_train_state(jax.random.key(SEED + 1), params, config)
+
+    q, ql, p, pl, n, nl = host_batch
+    batch = Batch(
+        jnp.asarray(q), jnp.asarray(ql), jnp.asarray(p), jnp.asarray(pl),
+        jnp.asarray(n), jnp.asarray(nl), jnp.ones((BATCH,), jnp.float32),
+    )
+    step_fn = jax.jit(make_train_step(spec, config), donate_argnums=(0,))
+
+    def run(num_steps):
+        nonlocal state
+        t0 = time.time()
+        metrics = None
+        for _ in range(num_steps):
+            state, metrics = step_fn(state, batch)
+        np.asarray(metrics["loss"])  # one host fetch at the end
+        return time.time() - t0
+
+    run(2)  # compile + warm
+    t_small, t_big = run(5), run(45)
+    per_step = (t_big - t_small) / 40
+    log(f"tpu: {per_step * 1000:.2f} ms/step at B={BATCH} "
+        f"({BATCH / per_step:.0f} ex/s)")
+    return BATCH / per_step
+
+
+# ---------------------------------------------------------------------------
+# torch reference baseline (equivalent implementation, not a copy)
+# ---------------------------------------------------------------------------
+
+
+def bench_torch(host_batch, table) -> float:
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(SEED)
+
+    class Tower(nn.Module):
+        """The reference encoder's compute path (ref: backend/model.py:8-75)."""
+
+        def __init__(self):
+            super().__init__()
+            self.embedding = nn.Embedding(VOCAB, EMBED_DIM, padding_idx=0)
+            self.embedding.weight.data.copy_(torch.from_numpy(table))
+            self.embedding.weight.requires_grad = False
+            self.rnn = nn.GRU(
+                EMBED_DIM, HIDDEN_DIM, num_layers=NUM_LAYERS, batch_first=True,
+                dropout=0.2, bidirectional=BIDIRECTIONAL,
+            )
+            self.projection = nn.Linear(HIDDEN_DIM * 2, HIDDEN_DIM) if BIDIRECTIONAL else None
+
+        def forward(self, x, lengths):
+            packed = nn.utils.rnn.pack_padded_sequence(
+                self.embedding(x), lengths, batch_first=True, enforce_sorted=False
+            )
+            _, h_n = self.rnn(packed)
+            if BIDIRECTIONAL:
+                hidden = self.projection(torch.cat([h_n[-2], h_n[-1]], dim=1))
+            else:
+                hidden = h_n[-1]
+            return F.normalize(hidden, p=2, dim=1)
+
+    query_tower, doc_tower = Tower(), Tower()
+    params = [p for t in (query_tower, doc_tower) for p in t.parameters() if p.requires_grad]
+    optimizer = torch.optim.Adam(params, lr=LR)
+
+    q, ql, p, pl, n, nl = host_batch
+    tq, tp, tn = map(lambda a: torch.from_numpy(a).long(), (q, p, n))
+    tql, tpl, tnl = map(torch.from_numpy, (ql, pl, nl))
+
+    def step():
+        optimizer.zero_grad()
+        q_emb = query_tower(tq, tql)
+        p_emb = doc_tower(tp, tpl)
+        n_emb = doc_tower(tn, tnl)
+        pos_sim = F.cosine_similarity(q_emb, p_emb)
+        neg_sim = F.cosine_similarity(q_emb, n_emb)
+        loss = torch.clamp(neg_sim - pos_sim + MARGIN, min=0.0).mean()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(params, max_norm=1.0)
+        optimizer.step()
+
+    step(); step()  # warm
+    num_steps = 8
+    t0 = time.time()
+    for _ in range(num_steps):
+        step()
+    per_step = (time.time() - t0) / num_steps
+    log(f"torch-cpu reference: {per_step * 1000:.2f} ms/step at B={BATCH} "
+        f"({BATCH / per_step:.0f} ex/s)")
+    return BATCH / per_step
+
+
+def main():
+    rng = np.random.default_rng(SEED)
+    table = (rng.standard_normal((VOCAB, EMBED_DIM)) * 0.1).astype(np.float32)
+    host_batch = make_host_batch(rng)
+
+    tpu_eps = bench_tpu(host_batch, table)
+    torch_eps = bench_torch(host_batch, table)
+
+    print(json.dumps({
+        "metric": "triplet_train_throughput",
+        "value": round(tpu_eps, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(tpu_eps / torch_eps, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
