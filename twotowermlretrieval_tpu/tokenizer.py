@@ -96,11 +96,27 @@ class Tokenizer:
         return word in self.word2idx
 
     # --- TPU batch API ------------------------------------------------------
+    def _get_native_vocab(self):
+        """Lazily build the C++ vocabulary (None if the toolchain/library is
+        unavailable — the Python path is always correct)."""
+        if not hasattr(self, "_native_vocab"):
+            self._native_vocab = None
+            try:
+                from twotowermlretrieval_tpu.native import native_available
+                from twotowermlretrieval_tpu.native.batch_tokenizer import NativeVocab
+
+                if native_available():
+                    self._native_vocab = NativeVocab(self.word2idx, self.unk_token_id)
+            except Exception:  # noqa: BLE001 — native path is best-effort
+                self._native_vocab = None
+        return self._native_vocab
+
     def encode_batch(
         self,
         texts: Sequence[str],
         max_len: int,
         pad_id: int = PAD_ID,
+        native: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Encode to a static-shape ``[B, max_len]`` int32 array + lengths.
 
@@ -117,6 +133,19 @@ class Tokenizer:
                      zero vector for them (matching the zero-vector guard in
                      ref: query_inferencer.py:65-69).
         """
+        if native:
+            vocab = self._get_native_vocab()
+            if vocab is not None:
+                tokens, lengths, ok = vocab.encode_batch(texts, max_len, pad_id)
+                if not ok.all():  # non-ASCII rows: exact unicode semantics
+                    for row in np.nonzero(ok == 0)[0]:
+                        ids = self.encode(texts[row])[:max_len]
+                        tokens[row, :] = pad_id
+                        if ids:
+                            tokens[row, : len(ids)] = ids
+                        lengths[row] = len(ids)
+                return tokens, lengths
+
         batch = np.full((len(texts), max_len), pad_id, dtype=np.int32)
         lengths = np.zeros((len(texts),), dtype=np.int32)
         for row, text in enumerate(texts):
