@@ -204,7 +204,9 @@ def _scan_direction(
         c = m_t * c_new + (1.0 - m_t) * c
         return (h, c), h
 
-    (h_final, _), outputs = jax.lax.scan(step, (h0, c0), (x_proj, mask))
+    # unroll reduces per-iteration loop overhead on TPU; the recurrent
+    # matmul stays the serial bottleneck
+    (h_final, _), outputs = jax.lax.scan(step, (h0, c0), (x_proj, mask), unroll=4)
     return outputs, h_final
 
 

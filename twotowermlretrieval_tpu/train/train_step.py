@@ -120,12 +120,18 @@ def _forward_and_metrics(
     params, batch: Batch, spec: TwoTowerSpec, config, dropout_rng, train: bool, axis_name
 ):
     if dropout_rng is not None:
-        q_rng, p_rng, n_rng = jax.random.split(dropout_rng, 3)
+        q_rng, d_rng = jax.random.split(dropout_rng, 2)
     else:
-        q_rng = p_rng = n_rng = None
+        q_rng = d_rng = None
     q = encode_query(params, batch.q_tokens, batch.q_len, spec, train=train, dropout_rng=q_rng)
-    p = encode_document(params, batch.pos_tokens, batch.pos_len, spec, train=train, dropout_rng=p_rng)
-    n = encode_document(params, batch.neg_tokens, batch.neg_len, spec, train=train, dropout_rng=n_rng)
+    # One doc-tower call over [2B, T] (pos ++ neg): halves the scan count
+    # and doubles MXU row occupancy vs two separate encodes (the reference
+    # runs three sequential tower calls per step, backend/main.py:249-251).
+    B = batch.pos_tokens.shape[0]
+    d_tokens = jnp.concatenate([batch.pos_tokens, batch.neg_tokens], axis=0)
+    d_len = jnp.concatenate([batch.pos_len, batch.neg_len], axis=0)
+    d = encode_document(params, d_tokens, d_len, spec, train=train, dropout_rng=d_rng)
+    p, n = d[:B], d[B:]
     w = batch.example_mask
 
     loss = combined_loss(
