@@ -149,3 +149,44 @@ def test_load_embedding_table_unk_patch(tmp_path):
     assert np.abs(out1[5]).max() <= 0.1  # scale matches ref backend/main.py:180
     with pytest.raises(ValueError):
         load_embedding_table(tmp_path / "emb.npy", vocab_size=3)
+
+
+def test_bucketed_batcher_shapes_and_coverage(tok):
+    triplets = []
+    rng = np.random.default_rng(0)
+    for i in range(50):
+        doc_len = int(rng.integers(1, 20))
+        triplets.append((
+            "w1 w2",
+            " ".join(f"w{j % 50}" for j in range(doc_len)),
+            " ".join(f"w{j % 50}" for j in range(int(rng.integers(1, 20)))),
+        ))
+    batcher = TripletBatcher(
+        triplets, tok, batch_size=8, max_query_len=4, max_doc_len=20,
+        length_buckets=[5, 10, 20],
+    )
+    seen = 0
+    widths = set()
+    for b in batcher.batches(seed=1):
+        assert b.pos_tokens.shape[1] in (5, 10, 20)
+        assert b.pos_tokens.shape == b.neg_tokens.shape
+        widths.add(b.pos_tokens.shape[1])
+        # every real row fits its bucket
+        real = b.example_mask.astype(bool)
+        eff = np.maximum(b.pos_len[real], b.neg_len[real])
+        assert (eff <= b.pos_tokens.shape[1]).all()
+        seen += int(b.example_mask.sum())
+    assert seen == 50
+    assert len(widths) > 1  # multiple buckets actually used
+    assert len(list(batcher.batches(seed=1))) == len(batcher)
+
+
+def test_bucketed_batcher_deterministic(tok):
+    triplets = [(f"w{i%20}", f"w{i} " * (i % 15 + 1), "w3 w4") for i in range(40)]
+    batcher = TripletBatcher(
+        triplets, tok, batch_size=8, max_query_len=4, max_doc_len=16,
+        length_buckets=[8, 16],
+    )
+    a = [(b.pos_tokens.shape, b.q_tokens.tobytes()) for b in batcher.batches(seed=5)]
+    b2 = [(b.pos_tokens.shape, b.q_tokens.tobytes()) for b in batcher.batches(seed=5)]
+    assert a == b2

@@ -235,3 +235,38 @@ def test_params_npz_roundtrip(setup, tmp_path):
     assert jax.tree.all(jax.tree.map(lambda a, b: (np.asarray(a) == b).all(), params, loaded))
     # layers tuple survives as a tuple
     assert isinstance(loaded["query"]["layers"], tuple)
+
+
+def test_step_timer():
+    import jax
+    import jax.numpy as jnp
+
+    from twotowermlretrieval_tpu.utils.profiling import StepTimer
+
+    timer = StepTimer()
+    fn = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((128, 128))
+    for _ in range(5):
+        x = timer.run(fn, x)
+    summary = timer.summary()
+    assert set(summary) == {
+        "dispatch_ms_p50", "blocked_ms_p50", "step_ms_p50", "step_ms_p99",
+        "host_bound_fraction",
+    }
+    assert summary["step_ms_p50"] >= 0
+    assert 0 <= summary["host_bound_fraction"] <= 1
+    assert StepTimer().summary() == {}
+
+
+def test_profile_trace_writes_files(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from twotowermlretrieval_tpu.utils.profiling import annotate, trace
+
+    fn = jax.jit(lambda x: jnp.sum(x * x))
+    with trace(str(tmp_path / "trace")):
+        with annotate("test_region"):
+            fn(jnp.ones((64, 64))).block_until_ready()
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert produced, "trace directory is empty"

@@ -43,7 +43,16 @@ class Batch(NamedTuple):
 
 
 class TripletBatcher:
-    """Pre-tokenized, shuffled, fixed-shape batch source."""
+    """Pre-tokenized, shuffled, fixed-shape batch source.
+
+    With ``length_buckets`` (ascending doc-width edges, e.g. [32, 64, 128]),
+    each triplet is assigned to the smallest bucket that fits
+    ``max(pos_len, neg_len)`` and batches are formed within buckets, so a
+    short-passage batch runs a short scan. One jit compilation per bucket
+    width (a handful), instead of the reference's per-batch dynamic widths
+    (backend/main.py:50-56) which would recompile constantly under XLA.
+    Bucket order is deterministically shuffled with the same seed.
+    """
 
     def __init__(
         self,
@@ -53,6 +62,7 @@ class TripletBatcher:
         max_query_len: int = 32,
         max_doc_len: int = 128,
         drop_remainder: bool = False,
+        length_buckets: Optional[Sequence[int]] = None,
     ):
         self.batch_size = int(batch_size)
         self.drop_remainder = drop_remainder
@@ -65,41 +75,67 @@ class TripletBatcher:
         self.pos_tokens, self.pos_len = tokenizer.encode_batch(positives, max_doc_len)
         self.neg_tokens, self.neg_len = tokenizer.encode_batch(negatives, max_doc_len)
 
-    def __len__(self) -> int:
+        if length_buckets:
+            edges = sorted(set(int(e) for e in length_buckets))
+            if edges[-1] < max_doc_len:
+                edges.append(max_doc_len)
+            self.bucket_edges = [e for e in edges if e <= max_doc_len]
+        else:
+            self.bucket_edges = [max_doc_len]
+        eff_len = np.maximum(self.pos_len, self.neg_len)
+        # smallest edge >= effective doc length
+        self._bucket_of = np.searchsorted(np.asarray(self.bucket_edges), eff_len, side="left")
+        self._bucket_of = np.minimum(self._bucket_of, len(self.bucket_edges) - 1)
+
+    def _num_batches_in(self, count: int) -> int:
         if self.drop_remainder:
-            return self.num_examples // self.batch_size
-        return -(-self.num_examples // self.batch_size)
+            return count // self.batch_size
+        return -(-count // self.batch_size)
+
+    def __len__(self) -> int:
+        if len(self.bucket_edges) == 1:
+            return self._num_batches_in(self.num_examples)
+        return sum(
+            self._num_batches_in(int((self._bucket_of == b).sum()))
+            for b in range(len(self.bucket_edges))
+        )
 
     def batches(self, seed: Optional[int] = None) -> Iterator[Batch]:
         """Yield batches; ``seed`` given -> shuffled (train), None -> in
         order (eval), mirroring the reference's shuffle=True/False loaders
         (backend/main.py:206-219)."""
-        order = np.arange(self.num_examples)
-        if seed is not None:
-            np.random.default_rng(seed).shuffle(order)
+        rng = np.random.default_rng(seed) if seed is not None else None
 
-        B = self.batch_size
-        num_full = self.num_examples // B
-        for b in range(num_full):
-            idx = order[b * B : (b + 1) * B]
-            yield self._gather(idx, np.ones(B, np.float32))
+        plans = []  # (bucket, index array, mask) per batch
+        for b in range(len(self.bucket_edges)):
+            members = np.nonzero(self._bucket_of == b)[0]
+            if rng is not None:
+                rng.shuffle(members)
+            B = self.batch_size
+            num_full = len(members) // B
+            for i in range(num_full):
+                plans.append((b, members[i * B : (i + 1) * B], np.ones(B, np.float32)))
+            rem = len(members) - num_full * B
+            if rem and not self.drop_remainder:
+                idx = members[num_full * B :]
+                # Pad to full width with repeats of the first remainder row;
+                # example_mask zeroes their loss/metric contribution.
+                pad = np.full(B - rem, idx[0], dtype=idx.dtype)
+                mask = np.concatenate([np.ones(rem, np.float32), np.zeros(B - rem, np.float32)])
+                plans.append((b, np.concatenate([idx, pad]), mask))
 
-        rem = self.num_examples - num_full * B
-        if rem and not self.drop_remainder:
-            idx = order[num_full * B :]
-            # Pad to full width with repeats of the first remainder row;
-            # example_mask zeroes their loss/metric contribution.
-            pad = np.full(B - rem, idx[0], dtype=idx.dtype)
-            mask = np.concatenate([np.ones(rem, np.float32), np.zeros(B - rem, np.float32)])
-            yield self._gather(np.concatenate([idx, pad]), mask)
+        if rng is not None:
+            rng.shuffle(plans)
+        for bucket, idx, mask in plans:
+            yield self._gather(idx, mask, self.bucket_edges[bucket])
 
-    def _gather(self, idx: np.ndarray, mask: np.ndarray) -> Batch:
+    def _gather(self, idx: np.ndarray, mask: np.ndarray, doc_width: int) -> Batch:
         return Batch(
             q_tokens=self.q_tokens[idx],
             q_len=self.q_len[idx],
-            pos_tokens=self.pos_tokens[idx],
+            pos_tokens=self.pos_tokens[idx, :doc_width],
             pos_len=self.pos_len[idx],
-            neg_tokens=self.neg_tokens[idx],
+            neg_tokens=self.neg_tokens[idx, :doc_width],
             neg_len=self.neg_len[idx],
             example_mask=mask,
         )

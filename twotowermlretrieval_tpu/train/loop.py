@@ -63,6 +63,7 @@ def train(
     resume: bool = False,
     model_path: Optional[str | Path] = None,
     run_name: Optional[str] = None,
+    profile_dir: Optional[str | Path] = None,
 ) -> Dict[str, Any]:
     config, tokenizer, table = setup(config)
     builder = TripletBuilder(config)
@@ -99,10 +100,12 @@ def train(
     train_batcher = TripletBatcher(
         datasets["train"], tokenizer, config.batch_size,
         config.max_query_len, config.max_doc_len,
+        length_buckets=config.length_buckets,
     )
     val_batcher = TripletBatcher(
         datasets["validation"], tokenizer, config.batch_size,
         config.max_query_len, config.max_doc_len,
+        length_buckets=config.length_buckets,
     )
 
     train_step = jax.jit(make_train_step(spec, config), donate_argnums=(0,))
@@ -114,6 +117,7 @@ def train(
         start_epoch = position.get("epoch", 0)
         skip_batches = position.get("batch_index", 0)
 
+    profile_ctx = None
     t_start = time.time()
     examples_seen = 0
     epoch_metrics_history = []
@@ -126,7 +130,18 @@ def train(
             if epoch == start_epoch and batch_index < skip_batches:
                 batch_index += 1
                 continue  # deterministic resume: replay the shuffle, skip done work
+            if profile_dir is not None and int(state.step) == 10 and profile_ctx is None:
+                # capture steps 10-20: past compilation, steady state
+                from twotowermlretrieval_tpu.utils.profiling import trace
+
+                profile_ctx = trace(str(profile_dir))
+                profile_ctx.__enter__()
             state, metrics = train_step(state, dev_batch)
+            if profile_ctx is not None and int(state.step) >= 20:
+                jax.block_until_ready(metrics)
+                profile_ctx.__exit__(None, None, None)
+                profile_ctx = None
+                profile_dir = None
             batch_index += 1
             num_batches += 1
             examples_seen += config.batch_size
@@ -194,6 +209,8 @@ def parse_args():
     parser.add_argument("--output", type=str, default="artifacts")
     parser.add_argument("--checkpoint_dir", type=str, default=None)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a device trace of steps 10-20 here")
     return parser.parse_args()
 
 
@@ -207,6 +224,7 @@ def main():
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
         model_path=args.model_path,
+        profile_dir=args.profile_dir,
     )
     if "examples_per_sec" in results:
         print(f"training finished: {results['examples_per_sec']:.1f} examples/s")
