@@ -41,6 +41,7 @@ pretrained array or N(0,1)-initialized (``torch.nn.Embedding`` default).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -159,11 +160,22 @@ def init_rnn_encoder(
 
 
 def _cell_step(rnn_type: str, xp_t: jax.Array, h: jax.Array, c, w_hh, b_hh, cdt):
-    """One recurrent step. xp_t: [B, G*H] precomputed input projection
-    (+b_ih); h, c: [B, H] f32 carries. Returns (h_new, c_new)."""
+    """One recurrent step, batched over directions. xp_t: [D, B, G*H]
+    precomputed input projection (+b_ih); h, c: [D, B, H] f32 carries;
+    w_hh: [D, H, G*H]; b_hh: [D, 1, G*H]. Returns (h_new, c_new).
+
+    The direction axis D rides the matmul as a dot_general batch dim, so a
+    bidirectional layer issues ONE batched [D, B, H] @ [D, H, G*H] per step
+    instead of two serial scans — the scan is latency-bound (the matmuls are
+    far below MXU saturation), so halving the step count ~halves wall time.
+    """
     hp = (
-        jnp.dot(h.astype(cdt), w_hh.astype(cdt), preferred_element_type=jnp.float32,
-                precision=matmul_precision(cdt))
+        jax.lax.dot_general(
+            h.astype(cdt), w_hh.astype(cdt),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(cdt),
+        )
         + b_hh
     )
     if rnn_type == "GRU":
@@ -181,33 +193,193 @@ def _cell_step(rnn_type: str, xp_t: jax.Array, h: jax.Array, c, w_hh, b_hh, cdt)
     return jnp.tanh(xp_t + hp), c
 
 
-def _scan_direction(
+def _batched_matmul(a: jax.Array, b: jax.Array, cdt) -> jax.Array:
+    """[D, B, K] @ [D, K, N] -> [D, B, N], operands cast to cdt, f32 accum."""
+    return jax.lax.dot_general(
+        a.astype(cdt), b.astype(cdt),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(cdt),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _scan_directions(
     rnn_type: str,
-    x_proj: jax.Array,  # [T, B, G*H] f32 — input projections (+ b_ih)
-    mask: jax.Array,  # [T, B, 1] f32
-    w_hh: jax.Array,
-    b_hh: jax.Array,
-    compute_dtype,
+    compute_dtype: str,
+    x_proj: jax.Array,  # [T, D, B, G*H] f32 — input projections (+ b_ih)
+    mask: jax.Array,  # [T, D, B, 1] f32
+    w_hh: jax.Array,  # [D, H, G*H]
+    b_hh: jax.Array,  # [D, 1, G*H]
 ):
-    """Scan one direction; returns (outputs [T, B, H], final hidden [B, H])."""
-    B = x_proj.shape[1]
-    H = w_hh.shape[0]
-    h0 = jnp.zeros((B, H), jnp.float32)
-    c0 = jnp.zeros((B, H), jnp.float32) if rnn_type == "LSTM" else h0
+    """One scan over all D directions at once.
+
+    Returns (outputs [T, D, B, H], final hidden [D, B, H]).
+
+    Custom VJP: autodiff of a ``lax.scan`` carries the [D, H, G*H] weight
+    cotangent through every reverse step and accumulates it with a per-step
+    matmul — three serial matmuls per step plus carry traffic, all
+    latency-bound. The hand-written backward (:func:`_scan_directions_bwd`)
+    recomputes the gate activations from the saved hidden-state history
+    (cheap; the recurrence is latency-bound, not FLOP-bound), emits the
+    per-step pre-activation cotangents, and hoists BOTH weight gradients out
+    of the scan into one big MXU matmul over all timesteps.
+    """
+    outputs, _, h_final = _scan_directions_fwd_scan(rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh)
+    return outputs, h_final
+
+
+def _scan_directions_fwd_scan(rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh):
+    cdt = jnp.dtype(compute_dtype)
+    D, B = x_proj.shape[1], x_proj.shape[2]
+    H = w_hh.shape[1]
+    h0 = jnp.zeros((D, B, H), jnp.float32)
+    c0 = jnp.zeros((D, B, H), jnp.float32) if rnn_type == "LSTM" else h0
 
     def step(carry, inputs):
         h, c = carry
         xp_t, m_t = inputs
-        h_new, c_new = _cell_step(rnn_type, xp_t, h, c, w_hh, b_hh, compute_dtype)
+        h_new, c_new = _cell_step(rnn_type, xp_t, h, c, w_hh, b_hh, cdt)
         # Masked update: padding steps are identity (packed-sequence semantics)
         h = m_t * h_new + (1.0 - m_t) * h
         c = m_t * c_new + (1.0 - m_t) * c
-        return (h, c), h
+        out = (h, c) if rnn_type == "LSTM" else (h, jnp.zeros((0,), jnp.float32))
+        return (h, c), out
 
-    # unroll reduces per-iteration loop overhead on TPU; the recurrent
-    # matmul stays the serial bottleneck
-    (h_final, _), outputs = jax.lax.scan(step, (h0, c0), (x_proj, mask), unroll=4)
-    return outputs, h_final
+    (h_final, _), (outputs, c_hist) = jax.lax.scan(step, (h0, c0), (x_proj, mask))
+    return outputs, c_hist, h_final
+
+
+def _scan_directions_fwd(rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh):
+    outputs, c_hist, h_final = _scan_directions_fwd_scan(
+        rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh
+    )
+    residuals = (x_proj, mask, w_hh, b_hh, outputs, c_hist)
+    return (outputs, h_final), residuals
+
+
+def _scan_directions_bwd(rnn_type, compute_dtype, residuals, cotangents):
+    x_proj, mask, w_hh, b_hh, outputs, c_hist = residuals
+    d_outputs, d_hfinal = cotangents
+    cdt = jnp.dtype(compute_dtype)
+    T, D, B, H = outputs.shape
+    h0 = jnp.zeros((D, B, H), jnp.float32)
+    # h_{t-1} history from the saved outputs (h0 is zeros)
+    h_prev = jnp.concatenate([h0[None], outputs[:-1]], axis=0)  # [T, D, B, H]
+    w_hh_t = jnp.swapaxes(w_hh, 1, 2)  # [D, G*H, H]
+
+    if rnn_type == "LSTM":
+        c_prev = jnp.concatenate([h0[None], c_hist[:-1]], axis=0)
+    else:
+        c_prev = jnp.zeros((T, 0), jnp.float32)  # unused placeholder
+
+    def step(carry, inputs):
+        dh, dc = carry
+        xp_t, m_t, hp_prev_t, cp_prev_t, h_t, d_out_t = inputs
+        dh = dh + d_out_t
+        dh_new = dh * m_t
+        dh_direct = dh * (1.0 - m_t)
+
+        if rnn_type == "GRU":
+            # recompute gates from (h_{t-1}, xp_t) — one batched matmul
+            hp = _batched_matmul(hp_prev_t, w_hh, cdt) + b_hh
+            x_r, x_z, x_n = jnp.split(xp_t, 3, axis=-1)
+            h_r, h_z, h_n = jnp.split(hp, 3, axis=-1)
+            r = jax.nn.sigmoid(x_r + h_r)
+            z = jax.nn.sigmoid(x_z + h_z)
+            n = jnp.tanh(x_n + r * h_n)
+            dz = dh_new * (hp_prev_t - n)
+            dn = dh_new * (1.0 - z)
+            dn_pre = dn * (1.0 - n * n)
+            dr = dn_pre * h_n
+            dz_pre = dz * z * (1.0 - z)
+            dr_pre = dr * r * (1.0 - r)
+            dxp_t = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+            dhp_t = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
+            dh_prev = (
+                _batched_matmul(dhp_t, w_hh_t, cdt) + dh_new * z + dh_direct
+            )
+            # Emit compact cdt streams: dxp plus the reset gate r, from which
+            # dhp is reconstructed outside the scan (dhp differs from dxp
+            # only in the candidate third: dhp_n = dxp_n * r). Halves the
+            # scan's HBM output traffic in bf16.
+            return (dh_prev, dc), (dxp_t.astype(cdt), r.astype(cdt))
+
+        if rnn_type == "LSTM":
+            dc_new = dc * m_t
+            dc_direct = dc * (1.0 - m_t)
+            hp = _batched_matmul(hp_prev_t, w_hh, cdt) + b_hh
+            gi, gf, gg, go = jnp.split(xp_t + hp, 4, axis=-1)
+            i = jax.nn.sigmoid(gi)
+            f = jax.nn.sigmoid(gf)
+            g = jnp.tanh(gg)
+            o = jax.nn.sigmoid(go)
+            c_new = f * cp_prev_t + i * g
+            tanh_c = jnp.tanh(c_new)
+            do = dh_new * tanh_c
+            dc_new = dc_new + dh_new * o * (1.0 - tanh_c * tanh_c)
+            di = dc_new * g
+            df = dc_new * cp_prev_t
+            dg = dc_new * i
+            dc_prev = dc_new * f + dc_direct
+            dgates = jnp.concatenate(
+                [
+                    di * i * (1.0 - i),
+                    df * f * (1.0 - f),
+                    dg * (1.0 - g * g),
+                    do * o * (1.0 - o),
+                ],
+                axis=-1,
+            )
+            dh_prev = _batched_matmul(dgates, w_hh_t, cdt) + dh_direct
+            # dxp == dhp == dgates for LSTM; emit one cdt stream.
+            return (dh_prev, dc_prev), (dgates.astype(cdt), jnp.zeros((0,), cdt))
+
+        # vanilla RNN (tanh): h_new == h_t wherever m_t==1, and dh_new==0
+        # wherever m_t==0, so the saved (masked) output stands in for h_new.
+        dpre = dh_new * (1.0 - h_t * h_t)
+        dh_prev = _batched_matmul(dpre, w_hh_t, cdt) + dh_direct
+        return (dh_prev, dc), (dpre.astype(cdt), jnp.zeros((0,), cdt))
+
+    dc0 = jnp.zeros((D, B, H), jnp.float32)
+    # reverse=True iterates t = T-1 .. 0 and writes stacked outputs at their
+    # original time indices — no jnp.flip materializations anywhere.
+    (dh0, _), (dxp_c, aux_c) = jax.lax.scan(
+        step,
+        (d_hfinal, dc0),
+        (x_proj, mask, h_prev, c_prev, outputs, d_outputs),
+        reverse=True,
+    )
+
+    # Reconstruct dhp (cotangent of the recurrent pre-activation) from the
+    # compact streams; for GRU it differs from dxp only in the candidate
+    # third (dhp_n = dxp_n * r).
+    if rnn_type == "GRU":
+        GH = dxp_c.shape[-1]
+        dhp_c = jnp.concatenate(
+            [dxp_c[..., : 2 * GH // 3], dxp_c[..., 2 * GH // 3 :] * aux_c], axis=-1
+        )
+    else:
+        dhp_c = dxp_c
+
+    # Hoisted weight gradient: ONE batched [D, H, T*B] @ [D, T*B, G*H] MXU
+    # matmul instead of a per-step accumulation carried through the scan.
+    # Transpose-reshape to a single contracting dim — the multi-contraction
+    # einsum form is rejected by CPU's bf16 dot thunk.
+    TB = T * B
+    h_prev_flat = h_prev.transpose(1, 0, 2, 3).reshape(D, TB, H)
+    dhp_flat = dhp_c.transpose(1, 0, 2, 3).reshape(D, TB, dhp_c.shape[-1])
+    dw_hh = jax.lax.dot_general(
+        h_prev_flat.astype(cdt), dhp_flat.astype(cdt),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(cdt),
+    )  # [D, H, G*H]
+    db_hh = jnp.sum(dhp_c.astype(jnp.float32), axis=(0, 2))[:, None, :]  # [D, 1, G*H]
+    return dxp_c.astype(x_proj.dtype), jnp.zeros_like(mask), dw_hh, db_hh
+
+
+_scan_directions.defvjp(_scan_directions_fwd, _scan_directions_bwd)
 
 
 def rnn_encode(
@@ -246,23 +418,41 @@ def rnn_encode(
     layer_in = jnp.swapaxes(x, 0, 1)  # [T, B, E]
     finals = {}
     for li, layer in enumerate(params["layers"]):
+        # Stack directions on a leading batch axis D so the whole layer is
+        # ONE scan: the bwd direction sees the time-flipped sequence/mask,
+        # and its masked updates keep h at zero through the (now leading)
+        # padding — packed-sequence semantics unchanged.
+        seqs = jnp.stack(
+            [layer_in if d == "fwd" else jnp.flip(layer_in, axis=0) for d in directions],
+            axis=1,
+        )  # [T, D, B, I]
+        msks = jnp.stack(
+            [mask if d == "fwd" else jnp.flip(mask, axis=0) for d in directions],
+            axis=1,
+        )  # [T, D, B, 1]
+        w_ih = jnp.stack([layer[d]["w_ih"] for d in directions])  # [D, I, G*H]
+        b_ih = jnp.stack([layer[d]["b_ih"] for d in directions])[:, None, :]  # [D, 1, G*H]
+        w_hh = jnp.stack([layer[d]["w_hh"] for d in directions])  # [D, H, G*H]
+        b_hh = jnp.stack([layer[d]["b_hh"] for d in directions])[:, None, :]
+        # Fused input projection: one batched [D, T*B, I] @ [D, I, G*H]
+        # MXU matmul for all timesteps and directions.
+        x_proj = (
+            jax.lax.dot_general(
+                seqs.astype(cdt), w_ih.astype(cdt),
+                dimension_numbers=(((3,), (1,)), ((1,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=matmul_precision(cdt),
+            )  # [D, T, B, G*H]
+            + b_ih[:, None]
+        ).transpose(1, 0, 2, 3)  # [T, D, B, G*H]
+        out, h_final = _scan_directions(spec.rnn_type, spec.compute_dtype, x_proj, msks, w_hh, b_hh)
         outs = []
-        for d in directions:
-            p = layer[d]
-            seq = layer_in if d == "fwd" else jnp.flip(layer_in, axis=0)
-            msk = mask if d == "fwd" else jnp.flip(mask, axis=0)
-            # Fused input projection: one [T*B, I] @ [I, G*H] MXU matmul.
-            x_proj = (
-                jnp.dot(seq.astype(cdt), p["w_ih"].astype(cdt),
-                        preferred_element_type=jnp.float32,
-                        precision=matmul_precision(cdt))
-                + p["b_ih"]
-            )
-            out, h_final = _scan_direction(spec.rnn_type, x_proj, msk, p["w_hh"], p["b_hh"], cdt)
+        for di, d in enumerate(directions):
+            o = out[:, di]
             if d == "bwd":
-                out = jnp.flip(out, axis=0)  # re-align time for the next layer
-            outs.append(out)
-            finals[d] = h_final
+                o = jnp.flip(o, axis=0)  # re-align time for the next layer
+            outs.append(o)
+            finals[d] = h_final[di]
         layer_in = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
         # Inter-layer dropout, as torch: on every layer's output except the
         # last, only when num_layers > 1 (ref: model.py:30-37).
