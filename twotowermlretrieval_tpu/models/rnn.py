@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -229,7 +230,30 @@ def _scan_directions(
     return outputs, h_final
 
 
+def _use_fused_gru(rnn_type: str, x_proj, w_hh) -> bool:
+    """True when the Pallas fused time-loop kernel (ops/rnn_scan.py) applies:
+    GRU cell, TPU backend, and TPU-tile-aligned shapes (H % 128, B % 16)."""
+    if rnn_type != "GRU" or os.environ.get("TTMR_DISABLE_FUSED_RNN"):
+        return False
+    T, D, B, GH = x_proj.shape
+    H = w_hh.shape[1]
+    if H % 128 != 0 or B % 16 != 0:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def _scan_directions_fwd_scan(rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh):
+    if _use_fused_gru(rnn_type, x_proj, w_hh):
+        from twotowermlretrieval_tpu.ops.rnn_scan import gru_scan_fwd
+
+        outputs, h_final = gru_scan_fwd(
+            x_proj, mask[..., 0], w_hh, b_hh[:, 0, :], compute_dtype=compute_dtype
+        )
+        return outputs, jnp.zeros((0,), jnp.float32), h_final
+
     cdt = jnp.dtype(compute_dtype)
     D, B = x_proj.shape[1], x_proj.shape[2]
     H = w_hh.shape[1]
@@ -261,6 +285,14 @@ def _scan_directions_fwd(rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh):
 def _scan_directions_bwd(rnn_type, compute_dtype, residuals, cotangents):
     x_proj, mask, w_hh, b_hh, outputs, c_hist = residuals
     d_outputs, d_hfinal = cotangents
+    if _use_fused_gru(rnn_type, x_proj, w_hh):
+        from twotowermlretrieval_tpu.ops.rnn_scan import gru_scan_bwd
+
+        dxp, dw_hh, db_hh = gru_scan_bwd(
+            x_proj, mask[..., 0], w_hh, b_hh[:, 0, :],
+            outputs, d_outputs, d_hfinal, compute_dtype=compute_dtype,
+        )
+        return dxp, jnp.zeros_like(mask), dw_hh, db_hh[:, None, :]
     cdt = jnp.dtype(compute_dtype)
     T, D, B, H = outputs.shape
     h0 = jnp.zeros((D, B, H), jnp.float32)
