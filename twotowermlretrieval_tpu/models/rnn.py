@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from twotowermlretrieval_tpu.utils.dtypes import matmul_precision
+from twotowermlretrieval_tpu.utils.dtypes import fast_bernoulli, matmul_precision
 
 _GATES = {"GRU": 3, "LSTM": 4, "RNN": 1}
 
@@ -491,7 +491,7 @@ def rnn_encode(
         if use_dropout and li < spec.num_layers - 1:
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = 1.0 - spec.dropout
-            layer_in = layer_in * jax.random.bernoulli(sub, keep, layer_in.shape) / keep
+            layer_in = layer_in * fast_bernoulli(sub, keep, layer_in.shape) / keep
 
     if spec.bidirectional:
         hidden = jnp.concatenate([finals["fwd"], finals["bwd"]], axis=-1)  # [B, 2H]

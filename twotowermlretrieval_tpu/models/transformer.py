@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from twotowermlretrieval_tpu.utils.dtypes import matmul_precision
+from twotowermlretrieval_tpu.utils.dtypes import fast_bernoulli, matmul_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,7 +140,7 @@ def transformer_encode(
             return x, rng
         rng, sub = jax.random.split(rng)
         keep = 1.0 - spec.dropout
-        return x * jax.random.bernoulli(sub, keep, x.shape) / keep, rng
+        return x * fast_bernoulli(sub, keep, x.shape) / keep, rng
 
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
     valid = (t_idx < lengths[:, None]).astype(jnp.float32)  # [B, T]
