@@ -335,34 +335,35 @@ def test_transformer_tower():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.parametrize("n_dir", [1, 2])
 @pytest.mark.parametrize("rnn_type", ["GRU", "LSTM", "RNN"])
-def test_scan_custom_vjp_matches_autodiff(rnn_type):
+def test_scan_custom_vjp_matches_autodiff(rnn_type, n_dir):
     """The hand-written backward (weight-grad hoisting, gate recompute) must
     agree with plain autodiff through the forward scan."""
-    from twotowermlretrieval_tpu.models.rnn import _scan_directions, _scan_directions_fwd_scan
+    from twotowermlretrieval_tpu.models.rnn import _scan_layer, _scan_layer_fwd_impl
 
     G = {"GRU": 3, "LSTM": 4, "RNN": 1}[rnn_type]
-    T, D, B, H = 9, 2, 4, 8
-    ks = jax.random.split(jax.random.key(0), 5)
-    x_proj = jax.random.normal(ks[0], (T, D, B, G * H))
+    T, B, H = 9, 4, 8
+    D = n_dir
+    ks = jax.random.split(jax.random.key(0), 6)
+    xps = tuple(jax.random.normal(k, (T, B, G * H)) for k in ks[:D])
     lengths = jnp.array([9, 5, 1, 0])  # includes full, partial, 1, and empty rows
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
-    m = (t_idx < lengths[None, :]).astype(jnp.float32)[..., None]
-    mask = jnp.stack([m, m], axis=1)
-    w_hh = jax.random.normal(ks[1], (D, H, G * H)) * 0.3
-    b_hh = jax.random.normal(ks[2], (D, 1, G * H)) * 0.1
-    ct_out = jax.random.normal(ks[3], (T, D, B, H))
-    ct_fin = jax.random.normal(ks[4], (D, B, H))
+    mask2 = (t_idx < lengths[None, :]).astype(jnp.float32)
+    w_hh = jax.random.normal(ks[2], (D, H, G * H)) * 0.3
+    b_hh = jax.random.normal(ks[3], (D, G * H)) * 0.1
+    cts = tuple(jax.random.normal(k, (T, B, H)) for k in jax.random.split(ks[4], D))
+    ct_fin = jax.random.normal(ks[5], (D, B, H))
 
-    def loss_custom(xp, w, b):
-        out, fin = _scan_directions(rnn_type, "float32", xp, mask, w, b)
-        return jnp.sum(out * ct_out) + jnp.sum(fin * ct_fin)
+    def loss_custom(xps, w, b):
+        outs, fin = _scan_layer(rnn_type, "float32", xps, mask2, w, b)
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cts)) + jnp.sum(fin * ct_fin)
 
-    def loss_autodiff(xp, w, b):
-        out, _, fin = _scan_directions_fwd_scan(rnn_type, "float32", xp, mask, w, b)
-        return jnp.sum(out * ct_out) + jnp.sum(fin * ct_fin)
+    def loss_autodiff(xps, w, b):
+        outs, _, fin = _scan_layer_fwd_impl(rnn_type, "float32", xps, mask2, w, b)
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cts)) + jnp.sum(fin * ct_fin)
 
-    g1 = jax.grad(loss_custom, argnums=(0, 1, 2))(x_proj, w_hh, b_hh)
-    g2 = jax.grad(loss_autodiff, argnums=(0, 1, 2))(x_proj, w_hh, b_hh)
-    for a, b in zip(g1, g2):
+    g1 = jax.grad(loss_custom, argnums=(0, 1, 2))(xps, w_hh, b_hh)
+    g2 = jax.grad(loss_autodiff, argnums=(0, 1, 2))(xps, w_hh, b_hh)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)

@@ -1,9 +1,10 @@
-"""Pallas fused GRU time-loop kernel vs the XLA masked scan (interpret mode).
+"""Pallas fused GRU time-loop kernels vs the XLA masked scan (interpret mode).
 
-The fused kernel (ops/rnn_scan.py) must reproduce the XLA scan's forward
-outputs and the custom-VJP backward's gradients exactly (f32). These run in
-Pallas interpret mode so they execute on the CPU CI mesh; the same kernels
-compile on TPU where models/rnn.py dispatches to them (_use_fused_gru).
+The fused layer kernels (ops/rnn_scan.py) must reproduce the XLA scan's
+forward outputs and the custom-VJP backward's gradients exactly (f32).
+These run in Pallas interpret mode so they execute on the CPU CI mesh; the
+same kernels compile on TPU where models/rnn.py dispatches to them
+(_use_fused_gru).
 """
 
 import jax
@@ -11,59 +12,72 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from twotowermlretrieval_tpu.models.rnn import _scan_directions_fwd_scan
-from twotowermlretrieval_tpu.ops.rnn_scan import gru_scan_bwd, gru_scan_fwd
+from twotowermlretrieval_tpu.models.rnn import _scan_layer_fwd_impl
+from twotowermlretrieval_tpu.ops.rnn_scan import gru_layer_bwd, gru_layer_fwd
 
 
-@pytest.fixture(scope="module")
-def gru_case():
-    T, D, B, H = 12, 2, 16, 128
+@pytest.fixture(scope="module", params=[1, 2], ids=["unidir", "bidir"])
+def gru_case(request):
+    D = request.param
+    T, B, H = 12, 16, 128
     GH = 3 * H
     ks = jax.random.split(jax.random.key(0), 6)
-    x_proj = jax.random.normal(ks[0], (T, D, B, GH))
-    # includes full-length, partial, length-1 and empty rows
+    xps = tuple(jax.random.normal(k, (T, B, GH)) for k in ks[:D])
+    # includes full-length, empty, length-1 and random rows
     lengths = jnp.asarray(
         np.r_[T, 0, 1, np.random.default_rng(0).integers(1, T + 1, B - 3)], jnp.int32
     )
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
-    mf = (t_idx < lengths[None, :]).astype(jnp.float32)
-    mask3 = jnp.stack([mf, jnp.flip(mf, 0)], axis=1)  # [T, D, B]
-    w_hh = jax.random.normal(ks[1], (D, H, GH)) * 0.2
-    b_hh = jax.random.normal(ks[2], (D, GH)) * 0.1
-    ct_out = jax.random.normal(ks[3], (T, D, B, H))
-    ct_fin = jax.random.normal(ks[4], (D, B, H))
-    return x_proj, mask3, w_hh, b_hh, ct_out, ct_fin
+    mask2 = (t_idx < lengths[None, :]).astype(jnp.float32)
+    w_hh = jax.random.normal(ks[2], (D, H, GH)) * 0.2
+    b_hh = jax.random.normal(ks[3], (D, GH)) * 0.1
+    cts = tuple(jax.random.normal(k, (T, B, H)) for k in jax.random.split(ks[4], D))
+    ct_fin = jax.random.normal(ks[5], (D, B, H))
+    return xps, mask2, w_hh, b_hh, cts, ct_fin
+
+
+def _ref_fwd(xps, mask2, w_hh, b_hh):
+    import os
+
+    os.environ["TTMR_DISABLE_FUSED_RNN"] = "1"
+    try:
+        return _scan_layer_fwd_impl("GRU", "float32", xps, mask2, w_hh, b_hh)
+    finally:
+        del os.environ["TTMR_DISABLE_FUSED_RNN"]
 
 
 def test_fused_gru_fwd_matches_scan(gru_case):
-    x_proj, mask3, w_hh, b_hh, _, _ = gru_case
-    out_ref, _, fin_ref = _scan_directions_fwd_scan(
-        "GRU", "float32", x_proj, mask3[..., None], w_hh, b_hh[:, None, :]
+    xps, mask2, w_hh, b_hh, _, _ = gru_case
+    outs_ref, _, fin_ref = _ref_fwd(xps, mask2, w_hh, b_hh)
+    outs_k, fin_k = gru_layer_fwd(
+        xps, mask2, w_hh, b_hh, compute_dtype="float32", interpret=True
     )
-    out_k, fin_k = gru_scan_fwd(
-        x_proj, mask3, w_hh, b_hh, compute_dtype="float32", interpret=True
-    )
-    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref), rtol=1e-5, atol=1e-6)
+    for a, b in zip(outs_k, outs_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(fin_k), np.asarray(fin_ref), rtol=1e-5, atol=1e-6)
 
 
 def test_fused_gru_bwd_matches_autodiff(gru_case):
-    x_proj, mask3, w_hh, b_hh, ct_out, ct_fin = gru_case
+    xps, mask2, w_hh, b_hh, cts, ct_fin = gru_case
 
-    def loss(xp, w, b):
-        out, _, fin = _scan_directions_fwd_scan(
-            "GRU", "float32", xp, mask3[..., None], w, b
-        )
-        return jnp.sum(out * ct_out) + jnp.sum(fin * ct_fin)
+    def loss(xps, w, b):
+        outs, _, fin = _scan_layer_fwd_impl("GRU", "float32", xps, mask2, w, b)
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cts)) + jnp.sum(fin * ct_fin)
 
-    gx, gw, gb = jax.grad(loss, argnums=(0, 1, 2))(x_proj, w_hh, b_hh[:, None, :])
-    out_saved, _, _ = _scan_directions_fwd_scan(
-        "GRU", "float32", x_proj, mask3[..., None], w_hh, b_hh[:, None, :]
-    )
-    dxp, dw, db = gru_scan_bwd(
-        x_proj, mask3, w_hh, b_hh, out_saved, ct_out, ct_fin,
+    import os
+
+    os.environ["TTMR_DISABLE_FUSED_RNN"] = "1"
+    try:
+        gx, gw, gb = jax.grad(loss, argnums=(0, 1, 2))(xps, w_hh, b_hh)
+        outs_saved, _, _ = _scan_layer_fwd_impl("GRU", "float32", xps, mask2, w_hh, b_hh)
+    finally:
+        del os.environ["TTMR_DISABLE_FUSED_RNN"]
+
+    dxps, dw, db = gru_layer_bwd(
+        xps, mask2, w_hh, b_hh, outs_saved, cts, ct_fin,
         compute_dtype="float32", interpret=True,
     )
-    np.testing.assert_allclose(np.asarray(dxp), np.asarray(gx), rtol=1e-4, atol=1e-5)
+    for a, b in zip(dxps, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(gw), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(db), np.asarray(gb[:, 0, :]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(gb), rtol=1e-4, atol=1e-4)

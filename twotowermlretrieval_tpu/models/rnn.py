@@ -15,14 +15,23 @@ TPU-first design (not a port):
   the final carried state equals the state after the last *real* token —
   exactly the packed-sequence semantics, with static shapes XLA can compile
   once.
-- **Fused input projections.** Per layer, the input contribution to all
-  gates for *all timesteps* is one large ``[B*T, I] @ [I, G*H]`` matmul on
-  the MXU, hoisted out of the scan. The scan body only performs the
-  unavoidable recurrent ``[B, H] @ [H, G*H]`` matmul.
-- **Masked reverse = backward direction.** The backward pass scans the
+- **Fused input projections.** Per layer and direction, the input
+  contribution to all gates for *all timesteps* is one large
+  ``[T*B, I] @ [I, G*H]`` matmul on the MXU, hoisted out of the scan. The
+  recurrence only performs the unavoidable ``[B, H] @ [H, G*H]`` matmul.
+- **Fused Pallas time loop on TPU.** For tile-aligned GRU shapes both
+  passes run as single Mosaic programs (ops/rnn_scan.py): hidden state in
+  VMEM across steps, per-direction BlockSpec index maps instead of any
+  flip/stack/concat copies, weight gradients accumulated in VMEM. The
+  XLA masked scan below is the portable fallback and the numerics oracle.
+- **Masked reverse = backward direction.** The backward direction scans the
   time-reversed sequence; masked updates keep ``h`` at its initial zeros
   through the (now leading) padding, so the first real update happens at the
   true last token — matching packed bidirectional semantics.
+- **Custom VJP.** The backward recomputes gates from the saved hidden
+  history and hoists both weight gradients out of the reverse scan; XLA
+  autodiff would instead carry the [D, H, G*H] cotangent through every
+  step.
 - **dtype policy.** Matmul operands are cast to ``compute_dtype`` (bf16 on
   TPU) with float32 accumulation (``preferred_element_type``); gate
   nonlinearities and the carried state stay float32 for recurrence
@@ -204,38 +213,12 @@ def _batched_matmul(a: jax.Array, b: jax.Array, cdt) -> jax.Array:
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _scan_directions(
-    rnn_type: str,
-    compute_dtype: str,
-    x_proj: jax.Array,  # [T, D, B, G*H] f32 — input projections (+ b_ih)
-    mask: jax.Array,  # [T, D, B, 1] f32
-    w_hh: jax.Array,  # [D, H, G*H]
-    b_hh: jax.Array,  # [D, 1, G*H]
-):
-    """One scan over all D directions at once.
-
-    Returns (outputs [T, D, B, H], final hidden [D, B, H]).
-
-    Custom VJP: autodiff of a ``lax.scan`` carries the [D, H, G*H] weight
-    cotangent through every reverse step and accumulates it with a per-step
-    matmul — three serial matmuls per step plus carry traffic, all
-    latency-bound. The hand-written backward (:func:`_scan_directions_bwd`)
-    recomputes the gate activations from the saved hidden-state history
-    (cheap; the recurrence is latency-bound, not FLOP-bound), emits the
-    per-step pre-activation cotangents, and hoists BOTH weight gradients out
-    of the scan into one big MXU matmul over all timesteps.
-    """
-    outputs, _, h_final = _scan_directions_fwd_scan(rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh)
-    return outputs, h_final
-
-
-def _use_fused_gru(rnn_type: str, x_proj, w_hh) -> bool:
+def _use_fused_gru(rnn_type: str, xp0, w_hh) -> bool:
     """True when the Pallas fused time-loop kernel (ops/rnn_scan.py) applies:
     GRU cell, TPU backend, and TPU-tile-aligned shapes (H % 128, B % 16)."""
     if rnn_type != "GRU" or os.environ.get("TTMR_DISABLE_FUSED_RNN"):
         return False
-    T, D, B, GH = x_proj.shape
+    T, B, GH = xp0.shape
     H = w_hh.shape[1]
     if H % 128 != 0 or B % 16 != 0:
         return False
@@ -245,15 +228,67 @@ def _use_fused_gru(rnn_type: str, x_proj, w_hh) -> bool:
         return False
 
 
-def _scan_directions_fwd_scan(rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh):
-    if _use_fused_gru(rnn_type, x_proj, w_hh):
-        from twotowermlretrieval_tpu.ops.rnn_scan import gru_scan_fwd
+def _stack_fallback_inputs(xps, mask2):
+    """Per-direction original-order arrays -> the stacked/flipped layout the
+    XLA scan consumes: x_proj [T, D, B, G*H], mask [T, D, B, 1]."""
+    if len(xps) == 1:
+        return xps[0][:, None], mask2[:, None, :, None]
+    x_proj = jnp.stack([xps[0], jnp.flip(xps[1], axis=0)], axis=1)
+    msk = jnp.stack([mask2, jnp.flip(mask2, axis=0)], axis=1)[..., None]
+    return x_proj, msk
 
-        outputs, h_final = gru_scan_fwd(
-            x_proj, mask[..., 0], w_hh, b_hh[:, 0, :], compute_dtype=compute_dtype
-        )
-        return outputs, jnp.zeros((0,), jnp.float32), h_final
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _scan_layer(
+    rnn_type: str,
+    compute_dtype: str,
+    xps,  # tuple of per-direction [T, B, G*H] f32, ORIGINAL time order
+    mask2: jax.Array,  # [T, B] f32
+    w_hh: jax.Array,  # [D, H, G*H]
+    b_hh: jax.Array,  # [D, G*H]
+):
+    """One recurrent layer over all D directions.
+
+    Returns (outs — tuple of per-direction [T, B, H] in original time
+    order, final hidden [D, B, H]).
+
+    Custom VJP: autodiff of a ``lax.scan`` carries the [D, H, G*H] weight
+    cotangent through every reverse step and accumulates it with a per-step
+    matmul — three serial matmuls per step plus carry traffic, all
+    latency-bound. The hand-written backward (:func:`_scan_layer_bwd`)
+    recomputes the gate activations from the saved hidden-state history
+    (cheap; the recurrence is latency-bound, not FLOP-bound), emits the
+    per-step pre-activation cotangents, and hoists BOTH weight gradients
+    out of the scan.
+
+    On TPU with tile-aligned GRU shapes both passes run as fused Pallas
+    time-loop kernels (ops/rnn_scan.py) whose per-direction BlockSpec index
+    maps read/write original-order arrays directly — no stack/flip/concat
+    copies anywhere. Elsewhere the XLA masked scan below is used.
+    """
+    outs, _, h_final = _scan_layer_fwd_impl(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh)
+    return outs, h_final
+
+
+def _scan_layer_fwd_impl(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
+    if _use_fused_gru(rnn_type, xps[0], w_hh):
+        from twotowermlretrieval_tpu.ops.rnn_scan import gru_layer_fwd
+
+        outs, h_final = gru_layer_fwd(xps, mask2, w_hh, b_hh, compute_dtype=compute_dtype)
+        return outs, jnp.zeros((0,), jnp.float32), h_final
+
+    x_proj, mask = _stack_fallback_inputs(xps, mask2)
+    outputs, c_hist, h_final = _stacked_scan_fwd(
+        rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh[:, None, :]
+    )
+    if len(xps) == 1:
+        outs = (outputs[:, 0],)
+    else:
+        outs = (outputs[:, 0], jnp.flip(outputs[:, 1], axis=0))
+    return outs, c_hist, h_final
+
+
+def _stacked_scan_fwd(rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh):
     cdt = jnp.dtype(compute_dtype)
     D, B = x_proj.shape[1], x_proj.shape[2]
     H = w_hh.shape[1]
@@ -274,25 +309,49 @@ def _scan_directions_fwd_scan(rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh)
     return outputs, c_hist, h_final
 
 
-def _scan_directions_fwd(rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh):
-    outputs, c_hist, h_final = _scan_directions_fwd_scan(
-        rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh
+def _scan_layer_fwd(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
+    outs, c_hist, h_final = _scan_layer_fwd_impl(
+        rnn_type, compute_dtype, xps, mask2, w_hh, b_hh
     )
-    residuals = (x_proj, mask, w_hh, b_hh, outputs, c_hist)
-    return (outputs, h_final), residuals
+    residuals = (xps, mask2, w_hh, b_hh, outs, c_hist)
+    return (outs, h_final), residuals
 
 
-def _scan_directions_bwd(rnn_type, compute_dtype, residuals, cotangents):
-    x_proj, mask, w_hh, b_hh, outputs, c_hist = residuals
-    d_outputs, d_hfinal = cotangents
-    if _use_fused_gru(rnn_type, x_proj, w_hh):
-        from twotowermlretrieval_tpu.ops.rnn_scan import gru_scan_bwd
+def _scan_layer_bwd(rnn_type, compute_dtype, residuals, cotangents):
+    xps, mask2, w_hh, b_hh, outs, c_hist = residuals
+    douts, d_hfinal = cotangents
+    if _use_fused_gru(rnn_type, xps[0], w_hh):
+        from twotowermlretrieval_tpu.ops.rnn_scan import gru_layer_bwd
 
-        dxp, dw_hh, db_hh = gru_scan_bwd(
-            x_proj, mask[..., 0], w_hh, b_hh[:, 0, :],
-            outputs, d_outputs, d_hfinal, compute_dtype=compute_dtype,
+        dxps, dw_hh, db_hh = gru_layer_bwd(
+            xps, mask2, w_hh, b_hh, outs, douts, d_hfinal,
+            compute_dtype=compute_dtype,
         )
-        return dxp, jnp.zeros_like(mask), dw_hh, db_hh[:, None, :]
+        return dxps, jnp.zeros_like(mask2), dw_hh, db_hh
+
+    # XLA fallback: restack into the [T, D, B, ...] layout, run the
+    # hand-written reverse scan, unstack the cotangents.
+    x_proj, mask = _stack_fallback_inputs(xps, mask2)
+    if len(xps) == 1:
+        outputs = outs[0][:, None]
+        d_outputs = douts[0][:, None]
+    else:
+        outputs = jnp.stack([outs[0], jnp.flip(outs[1], axis=0)], axis=1)
+        d_outputs = jnp.stack([douts[0], jnp.flip(douts[1], axis=0)], axis=1)
+    dxp, dw_hh, db_hh = _stacked_scan_bwd(
+        rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh[:, None, :],
+        outputs, c_hist, d_outputs, d_hfinal,
+    )
+    if len(xps) == 1:
+        dxps = (dxp[:, 0],)
+    else:
+        dxps = (dxp[:, 0], jnp.flip(dxp[:, 1], axis=0))
+    return dxps, jnp.zeros_like(mask2), dw_hh, db_hh[:, 0, :]
+
+
+def _stacked_scan_bwd(
+    rnn_type, compute_dtype, x_proj, mask, w_hh, b_hh, outputs, c_hist, d_outputs, d_hfinal
+):
     cdt = jnp.dtype(compute_dtype)
     T, D, B, H = outputs.shape
     h0 = jnp.zeros((D, B, H), jnp.float32)
@@ -408,10 +467,10 @@ def _scan_directions_bwd(rnn_type, compute_dtype, residuals, cotangents):
         precision=matmul_precision(cdt),
     )  # [D, H, G*H]
     db_hh = jnp.sum(dhp_c.astype(jnp.float32), axis=(0, 2))[:, None, :]  # [D, 1, G*H]
-    return dxp_c.astype(x_proj.dtype), jnp.zeros_like(mask), dw_hh, db_hh
+    return dxp_c.astype(x_proj.dtype), dw_hh, db_hh
 
 
-_scan_directions.defvjp(_scan_directions_fwd, _scan_directions_bwd)
+_scan_layer.defvjp(_scan_layer_fwd, _scan_layer_bwd)
 
 
 def rnn_encode(
@@ -438,60 +497,55 @@ def rnn_encode(
         x = sharded_embedding_lookup(params["embedding"], tokens, spec.embedding_axis)
     else:
         x = jnp.take(params["embedding"], tokens, axis=0)  # [B, T, E] f32
-    # [T, B, 1] time-major mask from lengths
+    # [T, B] time-major validity mask from lengths
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
-    mask = (t_idx < lengths[None, :]).astype(jnp.float32)[..., None]
+    mask2 = (t_idx < lengths[None, :]).astype(jnp.float32)
 
     directions = ("fwd", "bwd") if spec.bidirectional else ("fwd",)
     use_dropout = train and spec.dropout > 0.0 and spec.num_layers > 1
     if use_dropout and dropout_rng is None:
         raise ValueError("dropout_rng required when train=True and dropout>0")
 
-    layer_in = jnp.swapaxes(x, 0, 1)  # [T, B, E]
+    # The layer input is carried as per-direction PARTS (the previous
+    # layer's fwd/bwd outputs) instead of one concatenated array: the input
+    # projection contracts each part against the matching row-block of
+    # w_ih, so the [T, B, 2H] concat copy never materializes and the fused
+    # kernels read/write original-time-order arrays directly.
+    parts = (jnp.swapaxes(x, 0, 1),)  # tuple of [T, B, *]
     finals = {}
     for li, layer in enumerate(params["layers"]):
-        # Stack directions on a leading batch axis D so the whole layer is
-        # ONE scan: the bwd direction sees the time-flipped sequence/mask,
-        # and its masked updates keep h at zero through the (now leading)
-        # padding — packed-sequence semantics unchanged.
-        seqs = jnp.stack(
-            [layer_in if d == "fwd" else jnp.flip(layer_in, axis=0) for d in directions],
-            axis=1,
-        )  # [T, D, B, I]
-        msks = jnp.stack(
-            [mask if d == "fwd" else jnp.flip(mask, axis=0) for d in directions],
-            axis=1,
-        )  # [T, D, B, 1]
-        w_ih = jnp.stack([layer[d]["w_ih"] for d in directions])  # [D, I, G*H]
-        b_ih = jnp.stack([layer[d]["b_ih"] for d in directions])[:, None, :]  # [D, 1, G*H]
         w_hh = jnp.stack([layer[d]["w_hh"] for d in directions])  # [D, H, G*H]
-        b_hh = jnp.stack([layer[d]["b_hh"] for d in directions])[:, None, :]
-        # Fused input projection: one batched [D, T*B, I] @ [D, I, G*H]
-        # MXU matmul for all timesteps and directions.
-        x_proj = (
-            jax.lax.dot_general(
-                seqs.astype(cdt), w_ih.astype(cdt),
-                dimension_numbers=(((3,), (1,)), ((1,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=matmul_precision(cdt),
-            )  # [D, T, B, G*H]
-            + b_ih[:, None]
-        ).transpose(1, 0, 2, 3)  # [T, D, B, G*H]
-        out, h_final = _scan_directions(spec.rnn_type, spec.compute_dtype, x_proj, msks, w_hh, b_hh)
-        outs = []
+        b_hh = jnp.stack([layer[d]["b_hh"] for d in directions])  # [D, G*H]
+        xps = []
+        for d in directions:
+            w_ih = layer[d]["w_ih"]  # [I_total, G*H]
+            acc = None
+            row = 0
+            for p in parts:
+                w_rows = jax.lax.slice_in_dim(w_ih, row, row + p.shape[-1], axis=0)
+                term = jnp.dot(
+                    p.astype(cdt), w_rows.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                    precision=matmul_precision(cdt),
+                )
+                acc = term if acc is None else acc + term
+                row += p.shape[-1]
+            xps.append(acc + layer[d]["b_ih"])  # [T, B, G*H]
+        outs, h_final = _scan_layer(
+            spec.rnn_type, spec.compute_dtype, tuple(xps), mask2, w_hh, b_hh
+        )
         for di, d in enumerate(directions):
-            o = out[:, di]
-            if d == "bwd":
-                o = jnp.flip(o, axis=0)  # re-align time for the next layer
-            outs.append(o)
             finals[d] = h_final[di]
-        layer_in = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+        parts = outs
         # Inter-layer dropout, as torch: on every layer's output except the
         # last, only when num_layers > 1 (ref: model.py:30-37).
         if use_dropout and li < spec.num_layers - 1:
-            dropout_rng, sub = jax.random.split(dropout_rng)
             keep = 1.0 - spec.dropout
-            layer_in = layer_in * fast_bernoulli(sub, keep, layer_in.shape) / keep
+            new_parts = []
+            for p in parts:
+                dropout_rng, sub = jax.random.split(dropout_rng)
+                new_parts.append(p * fast_bernoulli(sub, keep, p.shape) / keep)
+            parts = tuple(new_parts)
 
     if spec.bidirectional:
         hidden = jnp.concatenate([finals["fwd"], finals["bwd"]], axis=-1)  # [B, 2H]

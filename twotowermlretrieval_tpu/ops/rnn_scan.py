@@ -7,31 +7,34 @@ loop inside one Mosaic program:
 
 - the hidden state lives in VMEM scratch across grid steps (never touches
   HBM between timesteps);
-- the per-step input-projection block streams HBM->VMEM double-buffered by
+- the per-step input-projection blocks stream HBM->VMEM double-buffered by
   the grid pipeline;
-- the backward accumulates the recurrent weight gradient ``dW_hh`` and bias
-  gradient in VMEM scratch — the [D, H, G*H] cotangent never rides a scan
-  carry and costs zero extra HBM traffic (the XLA autodiff carries it
+- **the backward direction needs no flipped copies**: each direction gets
+  its own BlockSpec index map (direction 0 reads time ``i``, direction 1
+  reads time ``T-1-i``), so the caller passes original-time-order arrays
+  and gets original-time-order outputs — zero stack/flip/concat traffic;
+- the backward accumulates the recurrent weight gradient ``dW_hh`` and the
+  bias gradient in VMEM scratch — the [D, H, G*H] cotangent never rides a
+  scan carry and costs zero extra HBM traffic (XLA autodiff carries it
   through every reverse step);
 - gate activations are recomputed in the backward from the saved hidden
   history (one extra MXU matmul — the recurrence is latency-bound, not
   FLOP-bound).
 
 Semantics are identical to the masked-update scan: padding steps are
-identity (packed-sequence equivalence, ref: backend/model.py:55-57), the
-backward direction sees time-flipped inputs (handled by the caller,
-models/rnn.py), and gate math matches ``torch.nn.GRU``.
+identity (packed-sequence equivalence, ref: backend/model.py:55-57) and
+gate math matches ``torch.nn.GRU``.
 
 Only the GRU cell is fused (the reference's default and the benchmark
 architecture, ref: backend/config.json:13); LSTM/RNN use the XLA path.
-Shape constraints (TPU tiling): H % 128 == 0 and B % 8 == 0 — callers fall
-back to the XLA scan otherwise (models/rnn.py:_use_fused_gru).
+Shape constraints (TPU tiling): H % 128 == 0 and B % 16 == 0 — callers
+fall back to the XLA scan otherwise (models/rnn.py:_use_fused_gru).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,23 +64,44 @@ def _gru_gates(xp, hp, h_prev):
     return r, z, n, h_new
 
 
+# direction -> time index maps. Direction 0 processes original time i at
+# grid step i; direction 1 (the "backward" tower direction) processes
+# original time T-1-i, so its inputs/outputs stay in original order with no
+# flipped copies.
+
+
+def _fwd_tmap(d: int, T: int):
+    return (lambda i: (i, 0, 0)) if d == 0 else (lambda i: (T - 1 - i, 0, 0))
+
+
+def _bwd_tmap(d: int, T: int):
+    # reverse traversal of each direction's own processing order
+    return (lambda j: (T - 1 - j, 0, 0)) if d == 0 else (lambda j: (j, 0, 0))
+
+
+def _bwd_prev_tmap(d: int, T: int):
+    # where the fused forward stored h_{p-1} for this direction (clamped;
+    # the kernel zero-overrides at the direction's first position p == 0)
+    if d == 0:
+        return lambda j: (jnp.maximum(T - 2 - j, 0), 0, 0)
+    return lambda j: (jnp.minimum(j + 1, T - 1), 0, 0)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 
-def _gru_fwd_kernel(
-    xp_ref,  # VMEM [1, D, B, G*H] cdt — this step's input projection (+b_ih)
-    mask_ref,  # VMEM [1, D, B] f32
-    w_hh_ref,  # VMEM [D, H, G*H] cdt
-    b_hh_ref,  # VMEM [D, G*H] f32
-    out_ref,  # VMEM [1, D, B, H] f32 — h_t
-    hfinal_ref,  # VMEM [D, B, H] f32
-    h_scr,  # VMEM scratch [D, B, H] f32 — carried hidden state
-    *,
-    n_dir: int,
-    cdt,
-):
+def _gru_fwd_kernel(*refs, n_dir: int, cdt):
+    # refs: xp_0..xp_{D-1}, m_0..m_{D-1}, w_hh, b_hh,
+    #       out_0..out_{D-1}, h_final, h_scr
+    xp_refs = refs[:n_dir]
+    m_refs = refs[n_dir : 2 * n_dir]
+    w_ref, b_ref = refs[2 * n_dir], refs[2 * n_dir + 1]
+    out_refs = refs[2 * n_dir + 2 : 3 * n_dir + 2]
+    hfinal_ref = refs[3 * n_dir + 2]
+    h_scr = refs[3 * n_dir + 3]
+
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
 
@@ -87,13 +111,13 @@ def _gru_fwd_kernel(
 
     for d in range(n_dir):  # static unroll (D <= 2)
         h_prev = h_scr[d]  # [B, H] f32
-        xp = xp_ref[0, d].astype(jnp.float32)  # [B, G*H]
-        hp = _mm(h_prev, w_hh_ref[d], cdt) + b_hh_ref[d][None, :]
+        xp = xp_refs[d][0].astype(jnp.float32)  # [B, G*H]
+        hp = _mm(h_prev, w_ref[d], cdt) + b_ref[d][None, :]
         _, z, n, h_new = _gru_gates(xp, hp, h_prev)
-        m = mask_ref[0, d][:, None]  # [B, 1]
+        m = m_refs[d][0, 0][:, None]  # [B, 1]
         h = m * h_new + (1.0 - m) * h_prev
         h_scr[d] = h
-        out_ref[0, d] = h
+        out_refs[d][0] = h
 
     @pl.when(step == num_steps - 1)
     def _fin():
@@ -101,47 +125,59 @@ def _gru_fwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
-def gru_scan_fwd(
-    x_proj: jax.Array,  # [T, D, B, G*H] f32
-    mask: jax.Array,  # [T, D, B] f32
+def gru_layer_fwd(
+    xps: Sequence[jax.Array],  # per-direction [T, B, G*H] f32, original time order
+    mask: jax.Array,  # [T, B] f32 (shared; per-direction views via index maps)
     w_hh: jax.Array,  # [D, H, G*H] f32
     b_hh: jax.Array,  # [D, G*H] f32
     compute_dtype: str = "bfloat16",
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Fused GRU forward. Returns (outputs [T, D, B, H] f32, h_final [D, B, H] f32)."""
-    T, D, B, GH = x_proj.shape
+) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """Fused GRU layer forward.
+
+    Returns (outs — per-direction [T, B, H] f32 in ORIGINAL time order,
+    h_final [D, B, H] f32)."""
+    D = len(xps)
+    T, B, GH = xps[0].shape
     H = GH // 3
     cdt = jnp.dtype(compute_dtype)
+    mask3 = mask[:, None, :]  # [T, 1, B] so blocks are (1, 1, B)
 
-    outputs, h_final = pl.pallas_call(
+    results = pl.pallas_call(
         functools.partial(_gru_fwd_kernel, n_dir=D, cdt=cdt),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, D, B, GH), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *[
+                pl.BlockSpec((1, B, GH), _fwd_tmap(d, T), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
+            *[
+                pl.BlockSpec((1, 1, B), _fwd_tmap(d, T), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
             pl.BlockSpec((D, H, GH), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, GH), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, D, B, H), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            *[
+                pl.BlockSpec((1, B, H), _fwd_tmap(d, T), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
             pl.BlockSpec((D, B, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, D, B, H), jnp.float32),
+            *[jax.ShapeDtypeStruct((T, B, H), jnp.float32) for _ in range(D)],
             jax.ShapeDtypeStruct((D, B, H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((D, B, H), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * D * B * H * GH,
-            bytes_accessed=x_proj.size * x_proj.dtype.itemsize
-            + T * D * B * H * 4
-            + D * H * GH * 4,
+            bytes_accessed=D * T * B * GH * cdt.itemsize + T * D * B * H * 4,
             transcendentals=3 * T * D * B * H,
         ),
         interpret=interpret,
-    )(x_proj.astype(cdt), mask, w_hh.astype(cdt), b_hh)
-    return outputs, h_final
+    )(*[xp.astype(cdt) for xp in xps], *[mask3] * D, w_hh.astype(cdt), b_hh)
+    return tuple(results[:D]), results[D]
 
 
 # ---------------------------------------------------------------------------
@@ -149,28 +185,25 @@ def gru_scan_fwd(
 # ---------------------------------------------------------------------------
 
 
-def _gru_bwd_kernel(
-    xp_ref,  # VMEM [1, D, B, G*H] cdt — step t (reversed grid)
-    mask_ref,  # VMEM [1, D, B] f32
-    hprev_ref,  # VMEM [1, D, B, H] f32 — outputs[t-1] (garbage at t=0, see below)
-    dout_ref,  # VMEM [1, D, B, H] f32 — d(outputs)[t]
-    w_hh_ref,  # VMEM [D, H, G*H] cdt
-    wT_ref,  # VMEM [D, G*H, H] cdt — transposed recurrent weights
-    b_hh_ref,  # VMEM [D, G*H] f32
-    dhf_ref,  # VMEM [D, B, H] f32 — d(h_final)
-    dxp_ref,  # out VMEM [1, D, B, G*H] cdt
-    dw_ref,  # out VMEM [D, H, G*H] f32
-    db_ref,  # out VMEM [D, G*H] f32
-    dh_scr,  # scratch VMEM [D, B, H] f32 — dh carry
-    dw_scr,  # scratch VMEM [D, H, G*H] f32
-    db_scr,  # scratch VMEM [D, G*H] f32
-    *,
-    n_dir: int,
-    cdt,
-):
+def _gru_bwd_kernel(*refs, n_dir: int, cdt):
+    # refs: xp_d*, m_d*, hprev_d*, dout_d*, w_hh, wT, b_hh, dhf,
+    #       dxp_d*, dw, db, dh_scr, dw_scr, db_scr
+    i = 0
+    xp_refs = refs[i : i + n_dir]; i += n_dir
+    m_refs = refs[i : i + n_dir]; i += n_dir
+    hprev_refs = refs[i : i + n_dir]; i += n_dir
+    dout_refs = refs[i : i + n_dir]; i += n_dir
+    w_ref, wT_ref, b_ref, dhf_ref = refs[i : i + 4]; i += 4
+    dxp_refs = refs[i : i + n_dir]; i += n_dir
+    dw_ref, db_ref = refs[i : i + 2]; i += 2
+    dh_scr, dw_scr, db_scr = refs[i : i + 3]
+
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
-    is_first_t = step == num_steps - 1  # reversed grid: last program is t == 0
+    # reversed traversal: the final grid step handles each direction's first
+    # position, where h_{p-1} is the true h0 == 0 (the clamped index map
+    # loaded garbage there)
+    is_first_pos = step == num_steps - 1
 
     @pl.when(step == 0)
     def _init():
@@ -179,16 +212,15 @@ def _gru_bwd_kernel(
         db_scr[:] = jnp.zeros_like(db_scr)
 
     for d in range(n_dir):  # static unroll
-        # h_{t-1}: the block index map clamps t-1 to 0, so at t == 0 the
-        # loaded block is outputs[0] — must be replaced by the true h0 = 0.
-        h_prev = jnp.where(is_first_t, 0.0, hprev_ref[0, d])  # [B, H] f32
-        xp = xp_ref[0, d].astype(jnp.float32)
-        hp = _mm(h_prev, w_hh_ref[d], cdt) + b_hh_ref[d][None, :]
+        h_prev = jnp.where(is_first_pos, 0.0, hprev_refs[d][0])  # [B, H] f32
+        xp = xp_refs[d][0].astype(jnp.float32)
+        hp = _mm(h_prev, w_ref[d], cdt) + b_ref[d][None, :]
         r, z, n, _ = _gru_gates(xp, hp, h_prev)
-        h_n = hp[:, 2 * xp.shape[-1] // 3 :]
+        H = h_prev.shape[-1]
+        h_n = hp[:, 2 * H :]
 
-        m = mask_ref[0, d][:, None]  # [B, 1]
-        dh_t = dh_scr[d] + dout_ref[0, d]
+        m = m_refs[d][0, 0][:, None]  # [B, 1]
+        dh_t = dh_scr[d] + dout_refs[d][0]
         dh_new = dh_t * m
         dh_direct = dh_t * (1.0 - m)
 
@@ -199,8 +231,8 @@ def _gru_bwd_kernel(
         dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)  # [B, G*H]
         dhp = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
 
-        dxp_ref[0, d] = dxp.astype(cdt)
-        # dh_{t-1} = dhp @ W_hh^T + z-path + masked passthrough
+        dxp_refs[d][0] = dxp.astype(cdt)
+        # dh_{p-1} = dhp @ W_hh^T + z-path + masked passthrough
         dh_scr[d] = _mm(dhp, wT_ref[d], cdt) + dh_new * z + dh_direct
         # In-VMEM weight-gradient accumulation: [H, B] @ [B, G*H] on the MXU
         dw_scr[d] += jax.lax.dot_general(
@@ -218,45 +250,62 @@ def _gru_bwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
-def gru_scan_bwd(
-    x_proj: jax.Array,  # [T, D, B, G*H] f32
-    mask: jax.Array,  # [T, D, B] f32
+def gru_layer_bwd(
+    xps: Sequence[jax.Array],  # per-direction [T, B, G*H] f32
+    mask: jax.Array,  # [T, B] f32
     w_hh: jax.Array,  # [D, H, G*H] f32
     b_hh: jax.Array,  # [D, G*H] f32
-    outputs: jax.Array,  # [T, D, B, H] f32 — saved forward hidden history
-    d_outputs: jax.Array,  # [T, D, B, H] f32
+    outs: Sequence[jax.Array],  # per-direction [T, B, H] f32 forward history
+    douts: Sequence[jax.Array],  # per-direction [T, B, H] f32 cotangents
     d_hfinal: jax.Array,  # [D, B, H] f32
     compute_dtype: str = "bfloat16",
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Fused GRU backward. Returns (dx_proj [T,D,B,G*H] f32, dw_hh, db_hh)."""
-    T, D, B, GH = x_proj.shape
+) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array]:
+    """Fused GRU layer backward.
+
+    Returns (dxps — per-direction [T, B, G*H] f32 in original time order,
+    dw_hh [D, H, G*H] f32, db_hh [D, G*H] f32)."""
+    D = len(xps)
+    T, B, GH = xps[0].shape
     H = GH // 3
     cdt = jnp.dtype(compute_dtype)
+    mask3 = mask[:, None, :]
 
-    rev = lambda i: (T - 1 - i, 0, 0, 0)  # reversed time traversal
-    rev_prev = lambda i: (jnp.maximum(T - 2 - i, 0), 0, 0, 0)  # t-1, clamped
-
-    dxp, dw_hh, db_hh = pl.pallas_call(
+    results = pl.pallas_call(
         functools.partial(_gru_bwd_kernel, n_dir=D, cdt=cdt),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, D, B, GH), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B), lambda i: (T - 1 - i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, H), rev_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, H), rev, memory_space=pltpu.VMEM),
+            *[
+                pl.BlockSpec((1, B, GH), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
+            *[
+                pl.BlockSpec((1, 1, B), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
+            *[
+                pl.BlockSpec((1, B, H), _bwd_prev_tmap(d, T), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
+            *[
+                pl.BlockSpec((1, B, H), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
             pl.BlockSpec((D, H, GH), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, GH, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, GH), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, D, B, GH), rev, memory_space=pltpu.VMEM),
+            *[
+                pl.BlockSpec((1, B, GH), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
             pl.BlockSpec((D, H, GH), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, GH), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, D, B, GH), cdt),
+            *[jax.ShapeDtypeStruct((T, B, GH), cdt) for _ in range(D)],
             jax.ShapeDtypeStruct((D, H, GH), jnp.float32),
             jax.ShapeDtypeStruct((D, GH), jnp.float32),
         ],
@@ -267,18 +316,19 @@ def gru_scan_bwd(
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * T * D * B * H * GH,
-            bytes_accessed=2 * x_proj.size * 2 + 2 * outputs.size * 4,
+            bytes_accessed=2 * D * T * B * GH * cdt.itemsize + 2 * D * T * B * H * 4,
             transcendentals=3 * T * D * B * H,
         ),
         interpret=interpret,
     )(
-        x_proj.astype(cdt),
-        mask,
-        outputs,
-        d_outputs,
+        *[xp.astype(cdt) for xp in xps],
+        *[mask3] * D,
+        *outs,
+        *douts,
         w_hh.astype(cdt),
         jnp.swapaxes(w_hh, 1, 2).astype(cdt),
         b_hh,
         d_hfinal,
     )
-    return dxp.astype(x_proj.dtype), dw_hh, db_hh
+    dxps = tuple(r.astype(xps[0].dtype) for r in results[:D])
+    return dxps, results[D], results[D + 1]
