@@ -13,14 +13,16 @@ import numpy as np
 import pytest
 
 from twotowermlretrieval_tpu.models.rnn import _scan_layer_fwd_impl
-from twotowermlretrieval_tpu.ops.rnn_scan import gru_layer_bwd, gru_layer_fwd
+from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_bwd, rnn_layer_fwd
 
 
-@pytest.fixture(scope="module", params=[1, 2], ids=["unidir", "bidir"])
+@pytest.fixture(scope="module", params=[(1, "GRU"), (2, "GRU"), (2, "LSTM"), (2, "RNN")],
+                ids=["unidir-GRU", "bidir-GRU", "bidir-LSTM", "bidir-RNN"])
 def gru_case(request):
-    D = request.param
+    D, cell = request.param
+    G = {"GRU": 3, "LSTM": 4, "RNN": 1}[cell]
     T, B, H = 12, 16, 128
-    GH = 3 * H
+    GH = G * H
     ks = jax.random.split(jax.random.key(0), 6)
     xps = tuple(jax.random.normal(k, (T, B, GH)) for k in ks[:D])
     # includes full-length, empty, length-1 and random rows
@@ -33,24 +35,24 @@ def gru_case(request):
     b_hh = jax.random.normal(ks[3], (D, GH)) * 0.1
     cts = tuple(jax.random.normal(k, (T, B, H)) for k in jax.random.split(ks[4], D))
     ct_fin = jax.random.normal(ks[5], (D, B, H))
-    return xps, mask2, w_hh, b_hh, cts, ct_fin
+    return cell, xps, mask2, w_hh, b_hh, cts, ct_fin
 
 
-def _ref_fwd(xps, mask2, w_hh, b_hh):
+def _ref_fwd(cell, xps, mask2, w_hh, b_hh):
     import os
 
     os.environ["TTMR_DISABLE_FUSED_RNN"] = "1"
     try:
-        return _scan_layer_fwd_impl("GRU", "float32", xps, mask2, w_hh, b_hh)
+        return _scan_layer_fwd_impl(cell, "float32", xps, mask2, w_hh, b_hh)
     finally:
         del os.environ["TTMR_DISABLE_FUSED_RNN"]
 
 
 def test_fused_gru_fwd_matches_scan(gru_case):
-    xps, mask2, w_hh, b_hh, _, _ = gru_case
-    outs_ref, _, fin_ref = _ref_fwd(xps, mask2, w_hh, b_hh)
-    outs_k, fin_k = gru_layer_fwd(
-        xps, mask2, w_hh, b_hh, compute_dtype="float32", interpret=True
+    cell, xps, mask2, w_hh, b_hh, _, _ = gru_case
+    outs_ref, _, fin_ref = _ref_fwd(cell, xps, mask2, w_hh, b_hh)
+    outs_k, _, fin_k = rnn_layer_fwd(
+        cell, xps, mask2, w_hh, b_hh, compute_dtype="float32", interpret=True
     )
     for a, b in zip(outs_k, outs_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
@@ -58,10 +60,10 @@ def test_fused_gru_fwd_matches_scan(gru_case):
 
 
 def test_fused_gru_bwd_matches_autodiff(gru_case):
-    xps, mask2, w_hh, b_hh, cts, ct_fin = gru_case
+    cell, xps, mask2, w_hh, b_hh, cts, ct_fin = gru_case
 
     def loss(xps, w, b):
-        outs, _, fin = _scan_layer_fwd_impl("GRU", "float32", xps, mask2, w, b)
+        outs, _, fin = _scan_layer_fwd_impl(cell, "float32", xps, mask2, w, b)
         return sum(jnp.sum(o * c) for o, c in zip(outs, cts)) + jnp.sum(fin * ct_fin)
 
     import os
@@ -69,12 +71,16 @@ def test_fused_gru_bwd_matches_autodiff(gru_case):
     os.environ["TTMR_DISABLE_FUSED_RNN"] = "1"
     try:
         gx, gw, gb = jax.grad(loss, argnums=(0, 1, 2))(xps, w_hh, b_hh)
-        outs_saved, _, _ = _scan_layer_fwd_impl("GRU", "float32", xps, mask2, w_hh, b_hh)
+        outs_saved, _, _ = _scan_layer_fwd_impl(cell, "float32", xps, mask2, w_hh, b_hh)
     finally:
         del os.environ["TTMR_DISABLE_FUSED_RNN"]
 
-    dxps, dw, db = gru_layer_bwd(
-        xps, mask2, w_hh, b_hh, outs_saved, cts, ct_fin,
+    # the fused forward's own c history feeds the fused backward (LSTM)
+    _, c_hist_k, _ = rnn_layer_fwd(
+        cell, xps, mask2, w_hh, b_hh, compute_dtype="float32", interpret=True
+    )
+    dxps, dw, db = rnn_layer_bwd(
+        cell, xps, mask2, w_hh, b_hh, outs_saved, c_hist_k, cts, ct_fin,
         compute_dtype="float32", interpret=True,
     )
     for a, b in zip(dxps, gx):

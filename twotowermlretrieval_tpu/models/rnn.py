@@ -213,10 +213,10 @@ def _batched_matmul(a: jax.Array, b: jax.Array, cdt) -> jax.Array:
     )
 
 
-def _use_fused_gru(rnn_type: str, xp0, w_hh) -> bool:
-    """True when the Pallas fused time-loop kernel (ops/rnn_scan.py) applies:
-    GRU cell, TPU backend, and TPU-tile-aligned shapes (H % 128, B % 16)."""
-    if rnn_type != "GRU" or os.environ.get("TTMR_DISABLE_FUSED_RNN"):
+def _use_fused_cell(rnn_type: str, xp0, w_hh) -> bool:
+    """True when the Pallas fused time-loop kernels (ops/rnn_scan.py) apply:
+    TPU backend and TPU-tile-aligned shapes (H % 128, B % 16)."""
+    if os.environ.get("TTMR_DISABLE_FUSED_RNN"):
         return False
     T, B, GH = xp0.shape
     H = w_hh.shape[1]
@@ -271,11 +271,13 @@ def _scan_layer(
 
 
 def _scan_layer_fwd_impl(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
-    if _use_fused_gru(rnn_type, xps[0], w_hh):
-        from twotowermlretrieval_tpu.ops.rnn_scan import gru_layer_fwd
+    if _use_fused_cell(rnn_type, xps[0], w_hh):
+        from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_fwd
 
-        outs, h_final = gru_layer_fwd(xps, mask2, w_hh, b_hh, compute_dtype=compute_dtype)
-        return outs, jnp.zeros((0,), jnp.float32), h_final
+        outs, c_hist, h_final = rnn_layer_fwd(
+            rnn_type, xps, mask2, w_hh, b_hh, compute_dtype=compute_dtype
+        )
+        return outs, c_hist, h_final
 
     x_proj, mask = _stack_fallback_inputs(xps, mask2)
     outputs, c_hist, h_final = _stacked_scan_fwd(
@@ -320,11 +322,11 @@ def _scan_layer_fwd(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
 def _scan_layer_bwd(rnn_type, compute_dtype, residuals, cotangents):
     xps, mask2, w_hh, b_hh, outs, c_hist = residuals
     douts, d_hfinal = cotangents
-    if _use_fused_gru(rnn_type, xps[0], w_hh):
-        from twotowermlretrieval_tpu.ops.rnn_scan import gru_layer_bwd
+    if _use_fused_cell(rnn_type, xps[0], w_hh):
+        from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_bwd
 
-        dxps, dw_hh, db_hh = gru_layer_bwd(
-            xps, mask2, w_hh, b_hh, outs, douts, d_hfinal,
+        dxps, dw_hh, db_hh = rnn_layer_bwd(
+            rnn_type, xps, mask2, w_hh, b_hh, outs, c_hist, douts, d_hfinal,
             compute_dtype=compute_dtype,
         )
         return dxps, jnp.zeros_like(mask2), dw_hh, db_hh

@@ -1,12 +1,12 @@
-"""Fused GRU time-loop Pallas kernels (forward + backward).
+"""Fused recurrent time-loop Pallas kernels (GRU / LSTM / RNN, fwd + bwd).
 
 The XLA ``lax.scan`` recurrence (models/rnn.py) is latency-bound: every
 timestep is a separate fusion with its own dispatch, and the backward adds
 per-step cotangent streams through HBM. These kernels run the WHOLE time
 loop inside one Mosaic program:
 
-- the hidden state lives in VMEM scratch across grid steps (never touches
-  HBM between timesteps);
+- the hidden (and LSTM cell) state lives in VMEM scratch across grid steps
+  (never touches HBM between timesteps);
 - the per-step input-projection blocks stream HBM->VMEM double-buffered by
   the grid pipeline;
 - **the backward direction needs no flipped copies**: each direction gets
@@ -17,18 +17,16 @@ loop inside one Mosaic program:
   bias gradient in VMEM scratch — the [D, H, G*H] cotangent never rides a
   scan carry and costs zero extra HBM traffic (XLA autodiff carries it
   through every reverse step);
-- gate activations are recomputed in the backward from the saved hidden
-  history (one extra MXU matmul — the recurrence is latency-bound, not
-  FLOP-bound).
+- gate activations are recomputed in the backward from the saved state
+  history (one extra MXU matmul for GRU/LSTM; none for vanilla RNN — the
+  recurrence is latency-bound, not FLOP-bound).
 
 Semantics are identical to the masked-update scan: padding steps are
 identity (packed-sequence equivalence, ref: backend/model.py:55-57) and
-gate math matches ``torch.nn.GRU``.
+gate math matches the ``torch.nn`` cell definitions.
 
-Only the GRU cell is fused (the reference's default and the benchmark
-architecture, ref: backend/config.json:13); LSTM/RNN use the XLA path.
 Shape constraints (TPU tiling): H % 128 == 0 and B % 16 == 0 — callers
-fall back to the XLA scan otherwise (models/rnn.py:_use_fused_gru).
+fall back to the XLA scan otherwise (models/rnn.py:_use_fused_cell).
 """
 
 from __future__ import annotations
@@ -43,6 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from twotowermlretrieval_tpu.utils.dtypes import matmul_precision
 
+_GATES = {"GRU": 3, "LSTM": 4, "RNN": 1}
+
 
 def _mm(a, b, cdt):
     """[B, K] @ [K, N] -> [B, N] f32, operands cast to compute dtype."""
@@ -54,14 +54,14 @@ def _mm(a, b, cdt):
     )
 
 
-def _gru_gates(xp, hp, h_prev):
-    """f32 GRU gate math shared by fwd and bwd. Returns (r, z, n, h_new)."""
-    H = h_prev.shape[-1]
-    r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
-    z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
-    n = jnp.tanh(xp[:, 2 * H :] + r * hp[:, 2 * H :])
-    h_new = (1.0 - z) * n + z * h_prev
-    return r, z, n, h_new
+def _outer_acc(h_prev, dg, cdt):
+    """[H, B] @ [B, G*H] weight-gradient contribution on the MXU."""
+    return jax.lax.dot_general(
+        h_prev.astype(cdt), dg.astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(cdt),
+    )
 
 
 # direction -> time index maps. Direction 0 processes original time i at
@@ -80,8 +80,8 @@ def _bwd_tmap(d: int, T: int):
 
 
 def _bwd_prev_tmap(d: int, T: int):
-    # where the fused forward stored h_{p-1} for this direction (clamped;
-    # the kernel zero-overrides at the direction's first position p == 0)
+    # where the fused forward stored the direction's state at position p-1
+    # (clamped; the kernel zero-overrides at the first position p == 0)
     if d == 0:
         return lambda j: (jnp.maximum(T - 2 - j, 0), 0, 0)
     return lambda j: (jnp.minimum(j + 1, T - 1), 0, 0)
@@ -92,15 +92,20 @@ def _bwd_prev_tmap(d: int, T: int):
 # ---------------------------------------------------------------------------
 
 
-def _gru_fwd_kernel(*refs, n_dir: int, cdt):
+def _fwd_kernel(*refs, cell: str, n_dir: int, cdt):
     # refs: xp_0..xp_{D-1}, m_0..m_{D-1}, w_hh, b_hh,
-    #       out_0..out_{D-1}, h_final, h_scr
-    xp_refs = refs[:n_dir]
-    m_refs = refs[n_dir : 2 * n_dir]
-    w_ref, b_ref = refs[2 * n_dir], refs[2 * n_dir + 1]
-    out_refs = refs[2 * n_dir + 2 : 3 * n_dir + 2]
-    hfinal_ref = refs[3 * n_dir + 2]
-    h_scr = refs[3 * n_dir + 3]
+    #       out_0..out_{D-1}, [c_0..c_{D-1} if LSTM], h_final,
+    #       h_scr, [c_scr if LSTM]
+    lstm = cell == "LSTM"
+    i = 0
+    xp_refs = refs[i : i + n_dir]; i += n_dir
+    m_refs = refs[i : i + n_dir]; i += n_dir
+    w_ref, b_ref = refs[i], refs[i + 1]; i += 2
+    out_refs = refs[i : i + n_dir]; i += n_dir
+    c_refs = refs[i : i + n_dir] if lstm else (); i += n_dir if lstm else 0
+    hfinal_ref = refs[i]; i += 1
+    h_scr = refs[i]; i += 1
+    c_scr = refs[i] if lstm else None
 
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
@@ -108,13 +113,39 @@ def _gru_fwd_kernel(*refs, n_dir: int, cdt):
     @pl.when(step == 0)
     def _init():
         h_scr[:] = jnp.zeros_like(h_scr)
+        if lstm:
+            c_scr[:] = jnp.zeros_like(c_scr)
 
     for d in range(n_dir):  # static unroll (D <= 2)
         h_prev = h_scr[d]  # [B, H] f32
+        H = h_prev.shape[-1]
         xp = xp_refs[d][0].astype(jnp.float32)  # [B, G*H]
-        hp = _mm(h_prev, w_ref[d], cdt) + b_ref[d][None, :]
-        _, z, n, h_new = _gru_gates(xp, hp, h_prev)
         m = m_refs[d][0, 0][:, None]  # [B, 1]
+
+        if cell == "RNN":
+            # no hp bias split needed: single gate
+            hp = _mm(h_prev, w_ref[d], cdt) + b_ref[d][None, :]
+            h_new = jnp.tanh(xp + hp)
+        elif cell == "GRU":
+            hp = _mm(h_prev, w_ref[d], cdt) + b_ref[d][None, :]
+            r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
+            z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
+            n = jnp.tanh(xp[:, 2 * H :] + r * hp[:, 2 * H :])
+            h_new = (1.0 - z) * n + z * h_prev
+        else:  # LSTM
+            c_prev = c_scr[d]
+            hp = _mm(h_prev, w_ref[d], cdt) + b_ref[d][None, :]
+            g_all = xp + hp
+            i_g = jax.nn.sigmoid(g_all[:, :H])
+            f_g = jax.nn.sigmoid(g_all[:, H : 2 * H])
+            g_g = jnp.tanh(g_all[:, 2 * H : 3 * H])
+            o_g = jax.nn.sigmoid(g_all[:, 3 * H :])
+            c_new = f_g * c_prev + i_g * g_g
+            h_new = o_g * jnp.tanh(c_new)
+            c = m * c_new + (1.0 - m) * c_prev
+            c_scr[d] = c
+            c_refs[d][0] = c
+
         h = m * h_new + (1.0 - m) * h_prev
         h_scr[d] = h
         out_refs[d][0] = h
@@ -124,27 +155,31 @@ def _gru_fwd_kernel(*refs, n_dir: int, cdt):
         hfinal_ref[:] = h_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
-def gru_layer_fwd(
+@functools.partial(jax.jit, static_argnames=("cell", "compute_dtype", "interpret"))
+def rnn_layer_fwd(
+    cell: str,
     xps: Sequence[jax.Array],  # per-direction [T, B, G*H] f32, original time order
     mask: jax.Array,  # [T, B] f32 (shared; per-direction views via index maps)
     w_hh: jax.Array,  # [D, H, G*H] f32
     b_hh: jax.Array,  # [D, G*H] f32
     compute_dtype: str = "bfloat16",
     interpret: bool = False,
-) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
-    """Fused GRU layer forward.
+):
+    """Fused recurrent layer forward.
 
     Returns (outs — per-direction [T, B, H] f32 in ORIGINAL time order,
+    c_hist — per-direction [T, B, H] f32 (LSTM) or () — and
     h_final [D, B, H] f32)."""
     D = len(xps)
     T, B, GH = xps[0].shape
-    H = GH // 3
+    H = GH // _GATES[cell]
     cdt = jnp.dtype(compute_dtype)
+    lstm = cell == "LSTM"
     mask3 = mask[:, None, :]  # [T, 1, B] so blocks are (1, 1, B)
 
+    n_state_outs = 2 * D if lstm else D
     results = pl.pallas_call(
-        functools.partial(_gru_fwd_kernel, n_dir=D, cdt=cdt),
+        functools.partial(_fwd_kernel, cell=cell, n_dir=D, cdt=cdt),
         grid=(T,),
         in_specs=[
             *[
@@ -159,17 +194,21 @@ def gru_layer_fwd(
             pl.BlockSpec((D, GH), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
+            # out_0..out_{D-1}, then (LSTM) c_0..c_{D-1}: position k uses
+            # direction (k % D)'s time map
             *[
-                pl.BlockSpec((1, B, H), _fwd_tmap(d, T), memory_space=pltpu.VMEM)
-                for d in range(D)
+                pl.BlockSpec((1, B, H), _fwd_tmap(k % D, T), memory_space=pltpu.VMEM)
+                for k in range(n_state_outs)
             ],
             pl.BlockSpec((D, B, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            *[jax.ShapeDtypeStruct((T, B, H), jnp.float32) for _ in range(D)],
+            *[jax.ShapeDtypeStruct((T, B, H), jnp.float32) for _ in range(n_state_outs)],
             jax.ShapeDtypeStruct((D, B, H), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((D, B, H), jnp.float32)],
+        scratch_shapes=(
+            [pltpu.VMEM((D, B, H), jnp.float32)] * (2 if lstm else 1)
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * D * B * H * GH,
             bytes_accessed=D * T * B * GH * cdt.itemsize + T * D * B * H * 4,
@@ -177,7 +216,9 @@ def gru_layer_fwd(
         ),
         interpret=interpret,
     )(*[xp.astype(cdt) for xp in xps], *[mask3] * D, w_hh.astype(cdt), b_hh)
-    return tuple(results[:D]), results[D]
+    outs = tuple(results[:D])
+    c_hist = tuple(results[D : 2 * D]) if lstm else ()
+    return outs, c_hist, results[n_state_outs]
 
 
 # ---------------------------------------------------------------------------
@@ -185,24 +226,31 @@ def gru_layer_fwd(
 # ---------------------------------------------------------------------------
 
 
-def _gru_bwd_kernel(*refs, n_dir: int, cdt):
-    # refs: xp_d*, m_d*, hprev_d*, dout_d*, w_hh, wT, b_hh, dhf,
-    #       dxp_d*, dw, db, dh_scr, dw_scr, db_scr
+def _bwd_kernel(*refs, cell: str, n_dir: int, cdt):
+    # refs: xp_d*, m_d*, hprev_d*, [cprev_d* if LSTM], [hcur_d* if RNN],
+    #       dout_d*, w_hh, wT, b_hh, dhf,
+    #       dxp_d*, dw, db, dh_scr, [dc_scr if LSTM], dw_scr, db_scr
+    lstm = cell == "LSTM"
+    rnn = cell == "RNN"
     i = 0
     xp_refs = refs[i : i + n_dir]; i += n_dir
     m_refs = refs[i : i + n_dir]; i += n_dir
     hprev_refs = refs[i : i + n_dir]; i += n_dir
+    cprev_refs = refs[i : i + n_dir] if lstm else (); i += n_dir if lstm else 0
+    hcur_refs = refs[i : i + n_dir] if rnn else (); i += n_dir if rnn else 0
     dout_refs = refs[i : i + n_dir]; i += n_dir
     w_ref, wT_ref, b_ref, dhf_ref = refs[i : i + 4]; i += 4
     dxp_refs = refs[i : i + n_dir]; i += n_dir
     dw_ref, db_ref = refs[i : i + 2]; i += 2
-    dh_scr, dw_scr, db_scr = refs[i : i + 3]
+    dh_scr = refs[i]; i += 1
+    dc_scr = refs[i] if lstm else None; i += 1 if lstm else 0
+    dw_scr, db_scr = refs[i], refs[i + 1]
 
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
     # reversed traversal: the final grid step handles each direction's first
-    # position, where h_{p-1} is the true h0 == 0 (the clamped index map
-    # loaded garbage there)
+    # position, where the p-1 state is the true zero initial state (the
+    # clamped index map loaded garbage there)
     is_first_pos = step == num_steps - 1
 
     @pl.when(step == 0)
@@ -210,37 +258,66 @@ def _gru_bwd_kernel(*refs, n_dir: int, cdt):
         dh_scr[:] = dhf_ref[:]
         dw_scr[:] = jnp.zeros_like(dw_scr)
         db_scr[:] = jnp.zeros_like(db_scr)
+        if lstm:
+            dc_scr[:] = jnp.zeros_like(dc_scr)
 
     for d in range(n_dir):  # static unroll
         h_prev = jnp.where(is_first_pos, 0.0, hprev_refs[d][0])  # [B, H] f32
-        xp = xp_refs[d][0].astype(jnp.float32)
-        hp = _mm(h_prev, w_ref[d], cdt) + b_ref[d][None, :]
-        r, z, n, _ = _gru_gates(xp, hp, h_prev)
         H = h_prev.shape[-1]
-        h_n = hp[:, 2 * H :]
-
+        xp = xp_refs[d][0].astype(jnp.float32)
         m = m_refs[d][0, 0][:, None]  # [B, 1]
         dh_t = dh_scr[d] + dout_refs[d][0]
         dh_new = dh_t * m
         dh_direct = dh_t * (1.0 - m)
 
-        dz = dh_new * (h_prev - n)
-        dn_pre = dh_new * (1.0 - z) * (1.0 - n * n)
-        dr_pre = dn_pre * h_n * r * (1.0 - r)
-        dz_pre = dz * z * (1.0 - z)
-        dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)  # [B, G*H]
-        dhp = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
+        if cell == "GRU":
+            hp = _mm(h_prev, w_ref[d], cdt) + b_ref[d][None, :]
+            r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
+            z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
+            n = jnp.tanh(xp[:, 2 * H :] + r * hp[:, 2 * H :])
+            h_n = hp[:, 2 * H :]
+            dz = dh_new * (h_prev - n)
+            dn_pre = dh_new * (1.0 - z) * (1.0 - n * n)
+            dr_pre = dn_pre * h_n * r * (1.0 - r)
+            dz_pre = dz * z * (1.0 - z)
+            dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+            dhp = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
+            dh_scr[d] = _mm(dhp, wT_ref[d], cdt) + dh_new * z + dh_direct
+        elif cell == "LSTM":
+            c_prev = jnp.where(is_first_pos, 0.0, cprev_refs[d][0])
+            dc_t = dc_scr[d]
+            dc_new = dc_t * m
+            dc_direct = dc_t * (1.0 - m)
+            hp = _mm(h_prev, w_ref[d], cdt) + b_ref[d][None, :]
+            g_all = xp + hp
+            i_g = jax.nn.sigmoid(g_all[:, :H])
+            f_g = jax.nn.sigmoid(g_all[:, H : 2 * H])
+            g_g = jnp.tanh(g_all[:, 2 * H : 3 * H])
+            o_g = jax.nn.sigmoid(g_all[:, 3 * H :])
+            c_new = f_g * c_prev + i_g * g_g
+            tanh_c = jnp.tanh(c_new)
+            do = dh_new * tanh_c
+            dc_new = dc_new + dh_new * o_g * (1.0 - tanh_c * tanh_c)
+            dgates = jnp.concatenate(
+                [
+                    dc_new * g_g * i_g * (1.0 - i_g),
+                    dc_new * c_prev * f_g * (1.0 - f_g),
+                    dc_new * i_g * (1.0 - g_g * g_g),
+                    do * o_g * (1.0 - o_g),
+                ],
+                axis=-1,
+            )
+            dxp = dhp = dgates
+            dc_scr[d] = dc_new * f_g + dc_direct
+            dh_scr[d] = _mm(dhp, wT_ref[d], cdt) + dh_direct
+        else:  # RNN: h_new == saved output wherever m==1; dh_new==0 elsewhere
+            h_t = hcur_refs[d][0]
+            dxp = dhp = dh_new * (1.0 - h_t * h_t)
+            dh_scr[d] = _mm(dhp, wT_ref[d], cdt) + dh_direct
 
         dxp_refs[d][0] = dxp.astype(cdt)
-        # dh_{p-1} = dhp @ W_hh^T + z-path + masked passthrough
-        dh_scr[d] = _mm(dhp, wT_ref[d], cdt) + dh_new * z + dh_direct
         # In-VMEM weight-gradient accumulation: [H, B] @ [B, G*H] on the MXU
-        dw_scr[d] += jax.lax.dot_general(
-            h_prev.astype(cdt), dhp.astype(cdt),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=matmul_precision(cdt),
-        )
+        dw_scr[d] += _outer_acc(h_prev, dhp, cdt)
         db_scr[d] += jnp.sum(dhp, axis=0)
 
     @pl.when(step == num_steps - 1)
@@ -249,30 +326,57 @@ def _gru_bwd_kernel(*refs, n_dir: int, cdt):
         db_ref[:] = db_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
-def gru_layer_bwd(
+@functools.partial(jax.jit, static_argnames=("cell", "compute_dtype", "interpret"))
+def rnn_layer_bwd(
+    cell: str,
     xps: Sequence[jax.Array],  # per-direction [T, B, G*H] f32
     mask: jax.Array,  # [T, B] f32
     w_hh: jax.Array,  # [D, H, G*H] f32
     b_hh: jax.Array,  # [D, G*H] f32
     outs: Sequence[jax.Array],  # per-direction [T, B, H] f32 forward history
+    c_hist: Sequence[jax.Array],  # per-direction [T, B, H] (LSTM) or ()
     douts: Sequence[jax.Array],  # per-direction [T, B, H] f32 cotangents
     d_hfinal: jax.Array,  # [D, B, H] f32
     compute_dtype: str = "bfloat16",
     interpret: bool = False,
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array]:
-    """Fused GRU layer backward.
+    """Fused recurrent layer backward.
 
     Returns (dxps — per-direction [T, B, G*H] f32 in original time order,
     dw_hh [D, H, G*H] f32, db_hh [D, G*H] f32)."""
     D = len(xps)
     T, B, GH = xps[0].shape
-    H = GH // 3
+    H = GH // _GATES[cell]
     cdt = jnp.dtype(compute_dtype)
+    lstm = cell == "LSTM"
+    rnn = cell == "RNN"
     mask3 = mask[:, None, :]
 
+    extra_in_specs = []
+    extra_inputs = []
+    if lstm:
+        extra_in_specs += [
+            pl.BlockSpec((1, B, H), _bwd_prev_tmap(d, T), memory_space=pltpu.VMEM)
+            for d in range(D)
+        ]
+        extra_inputs += list(c_hist)
+    if rnn:
+        extra_in_specs += [
+            pl.BlockSpec((1, B, H), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+            for d in range(D)
+        ]
+        extra_inputs += list(outs)
+
+    scratch_shapes = [pltpu.VMEM((D, B, H), jnp.float32)]
+    if lstm:
+        scratch_shapes.append(pltpu.VMEM((D, B, H), jnp.float32))
+    scratch_shapes += [
+        pltpu.VMEM((D, H, GH), jnp.float32),
+        pltpu.VMEM((D, GH), jnp.float32),
+    ]
+
     results = pl.pallas_call(
-        functools.partial(_gru_bwd_kernel, n_dir=D, cdt=cdt),
+        functools.partial(_bwd_kernel, cell=cell, n_dir=D, cdt=cdt),
         grid=(T,),
         in_specs=[
             *[
@@ -287,6 +391,7 @@ def gru_layer_bwd(
                 pl.BlockSpec((1, B, H), _bwd_prev_tmap(d, T), memory_space=pltpu.VMEM)
                 for d in range(D)
             ],
+            *extra_in_specs,
             *[
                 pl.BlockSpec((1, B, H), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
                 for d in range(D)
@@ -309,11 +414,7 @@ def gru_layer_bwd(
             jax.ShapeDtypeStruct((D, H, GH), jnp.float32),
             jax.ShapeDtypeStruct((D, GH), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((D, B, H), jnp.float32),
-            pltpu.VMEM((D, H, GH), jnp.float32),
-            pltpu.VMEM((D, GH), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=6 * T * D * B * H * GH,
             bytes_accessed=2 * D * T * B * GH * cdt.itemsize + 2 * D * T * B * H * 4,
@@ -324,6 +425,7 @@ def gru_layer_bwd(
         *[xp.astype(cdt) for xp in xps],
         *[mask3] * D,
         *outs,
+        *extra_inputs,
         *douts,
         w_hh.astype(cdt),
         jnp.swapaxes(w_hh, 1, 2).astype(cdt),
