@@ -168,6 +168,71 @@ def prefetch_to_device(iterator: Iterator[Batch], size: int = 2, sharding=None):
         yield queue.popleft()
 
 
+def pack_batch(batch: Batch) -> np.ndarray:
+    """Flatten a host Batch into ONE int32 array [B, Lq + 2*Ld + 4].
+
+    On remote-attached TPUs every ``device_put`` is a round-trip; shipping
+    the seven batch leaves as one buffer makes the hot loop one transfer per
+    step. Layout: q_tokens | pos_tokens | neg_tokens | q_len | pos_len |
+    neg_len | example_mask (0/1 as int32). Unpacked on device inside the
+    jitted step by :func:`unpack_batch`.
+    """
+    cols = [
+        batch.q_tokens,
+        batch.pos_tokens,
+        batch.neg_tokens,
+        batch.q_len[:, None],
+        batch.pos_len[:, None],
+        batch.neg_len[:, None],
+        batch.example_mask.astype(np.int32)[:, None],
+    ]
+    return np.concatenate([np.asarray(c, np.int32) for c in cols], axis=1)
+
+
+def unpack_batch(packed, max_query_len: int) -> Batch:
+    """Inverse of :func:`pack_batch`; traceable (runs inside jit)."""
+    W = packed.shape[1]
+    Lq = max_query_len
+    Ld = (W - Lq - 4) // 2
+    q = packed[:, :Lq]
+    pos = packed[:, Lq : Lq + Ld]
+    neg = packed[:, Lq + Ld : Lq + 2 * Ld]
+    tail = packed[:, Lq + 2 * Ld :]
+    return Batch(
+        q_tokens=q,
+        q_len=tail[:, 0],
+        pos_tokens=pos,
+        pos_len=tail[:, 1],
+        neg_tokens=neg,
+        neg_len=tail[:, 2],
+        example_mask=tail[:, 3].astype(np.float32),
+    )
+
+
+def prefetch_packed_to_device(iterator: Iterator[Batch], size: int = 2, sharding=None):
+    """Like :func:`prefetch_to_device` but ships each batch as ONE packed
+    int32 buffer (see :func:`pack_batch`) — one transfer per step instead of
+    seven."""
+    import collections
+
+    import jax
+
+    queue: collections.deque = collections.deque()
+
+    def put(batch: Batch):
+        packed = pack_batch(batch)
+        if sharding is not None:
+            return jax.device_put(packed, sharding)
+        return jax.device_put(packed)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def tokenize_corpus(
     documents: Sequence[str], tokenizer: Tokenizer, max_len: int, batch_size: int = 256
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

@@ -40,13 +40,20 @@ class TextEncoder:
         self._encode_d = jax.jit(encode_document, static_argnames=("spec",))
 
     def _run(self, texts: Sequence[str], fn, max_len: int) -> np.ndarray:
-        outs = []
+        # Dispatch every batch asynchronously, keep results on device, and
+        # fetch ONE concatenated array: host round-trips cost ~tens of ms
+        # on remote-attached TPUs, so per-batch np.asarray fetches dominate
+        # wall time for large corpora.
+        dev_outs, masks = [], []
         for tokens, lengths, mask in tokenize_corpus(
             texts, self.tokenizer, max_len, self.batch_size
         ):
-            emb = fn(self.params, jnp.asarray(tokens), jnp.asarray(lengths), self.spec)
-            outs.append(np.asarray(emb)[mask.astype(bool)])
-        return np.concatenate(outs, axis=0) if outs else np.zeros((0, self.spec.hidden_dim), np.float32)
+            dev_outs.append(fn(self.params, jnp.asarray(tokens), jnp.asarray(lengths), self.spec))
+            masks.append(mask.astype(bool))
+        if not dev_outs:
+            return np.zeros((0, self.spec.hidden_dim), np.float32)
+        all_emb = np.asarray(jnp.concatenate(dev_outs, axis=0))
+        return all_emb[np.concatenate(masks)]
 
     def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
         """[N, H] query-tower embeddings (ref: query_inferencer.py:59-75,

@@ -51,21 +51,40 @@ class BatchEvaluator:
     def evaluate(self, eval_step, state, batcher) -> Tuple[Dict[str, float], float]:
         """eval_step: jitted fn from make_eval_step; batcher: TripletBatcher
         over the validation split. Returns (metrics, avg_val_loss)."""
-        all_q, all_p = [], []
-        total_loss, num_batches = 0.0, 0
-        for batch in batcher.batches(seed=None):
-            dev_batch = jax.tree.map(jnp.asarray, batch)
+        # Keep per-batch results on device and fetch once: per-batch host
+        # fetches cost a full round-trip each on remote-attached TPUs. Each
+        # batch ships as ONE packed buffer (prefetched), unpacked on device.
+        from twotowermlretrieval_tpu.data.batching import (
+            prefetch_packed_to_device,
+            unpack_batch,
+        )
+
+        dev_q, dev_p, masks = [], [], []
+        dev_loss = None
+        num_batches = 0
+        max_query_len = None
+
+        def tracked():
+            nonlocal max_query_len
+            for batch in batcher.batches(seed=None):
+                max_query_len = batch.q_tokens.shape[1]
+                masks.append(batch.example_mask.astype(bool))
+                yield batch
+
+        for packed in prefetch_packed_to_device(tracked()):
+            dev_batch = unpack_batch(packed, max_query_len)
             q, p, m = eval_step(state, dev_batch)
-            real = batch.example_mask.astype(bool)
-            all_q.append(np.asarray(q)[real])
-            all_p.append(np.asarray(p)[real])
-            total_loss += float(m["val_loss"])
+            dev_q.append(q)
+            dev_p.append(p)
+            dev_loss = m["val_loss"] if dev_loss is None else dev_loss + m["val_loss"]
             num_batches += 1
-        if not all_q:
+        if not dev_q:
             return {}, 0.0
 
-        q_embs = np.concatenate(all_q)
-        d_embs = np.concatenate(all_p)
+        real = np.concatenate(masks)
+        q_embs = np.asarray(jnp.concatenate(dev_q))[real]
+        d_embs = np.asarray(jnp.concatenate(dev_p))[real]
+        total_loss = float(dev_loss)
         # Full [N, N] similarity on device (ref: evaluators.py:53)
         sim = np.asarray(
             jnp.dot(jnp.asarray(q_embs), jnp.asarray(d_embs).T, preferred_element_type=jnp.float32)

@@ -19,6 +19,7 @@ eval. Differences from the reference loop:
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -28,7 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from twotowermlretrieval_tpu.config import Config
-from twotowermlretrieval_tpu.data.batching import TripletBatcher, prefetch_to_device
+from twotowermlretrieval_tpu.data.batching import (
+    TripletBatcher,
+    prefetch_packed_to_device,
+    unpack_batch,
+)
 from twotowermlretrieval_tpu.data.glove import load_embedding_table
 from twotowermlretrieval_tpu.data.loader import TripletBuilder
 from twotowermlretrieval_tpu.encoder import TextEncoder
@@ -108,7 +113,13 @@ def train(
         length_buckets=config.length_buckets,
     )
 
-    train_step = jax.jit(make_train_step(spec, config), donate_argnums=(0,))
+    # The step consumes ONE packed int32 buffer per batch (one H2D transfer
+    # per step on remote-attached TPUs) and unpacks it on device.
+    raw_step = make_train_step(spec, config)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, packed):
+        return raw_step(state, unpack_batch(packed, config.max_query_len))
 
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_epoch, skip_batches = 0, 0
@@ -117,27 +128,54 @@ def train(
         start_epoch = position.get("epoch", 0)
         skip_batches = position.get("batch_index", 0)
 
+    # Host round-trips are the enemy of the hot loop on remote-attached
+    # TPUs (~tens of ms per fetch): the step counter is tracked host-side,
+    # per-step metrics stay on device as scalar handles, and fetches happen
+    # only when logging (one stacked transfer) or at epoch end (one stacked
+    # reduction over the whole epoch's handles).
+    def fetch_metrics(m: Dict[str, jax.Array]) -> Dict[str, float]:
+        keys = sorted(m)
+        vals = np.asarray(jnp.stack([m[k] for k in keys]))  # ONE transfer
+        return dict(zip(keys, vals.tolist()))
+
+    def epoch_means(history) -> Dict[str, float]:
+        if not history:
+            return {}
+        keys = sorted(history[0])
+        stacked = jnp.stack([jnp.stack([m[k] for k in keys]) for m in history])
+        vals = np.asarray(jnp.mean(stacked, axis=0))
+        return dict(zip(keys, vals.tolist()))
+
     profile_ctx = None
     t_start = time.time()
     examples_seen = 0
     epoch_metrics_history = []
+    step = int(state.step)
     for epoch in range(start_epoch, config.epochs):
         epoch_seed = config.seed + 1000 + epoch  # deterministic shuffle per epoch
-        running: Dict[str, float] = {}
+        metric_handles = []
         num_batches = 0
         batch_index = 0
-        for dev_batch in prefetch_to_device(train_batcher.batches(seed=epoch_seed)):
+        for dev_batch in prefetch_packed_to_device(train_batcher.batches(seed=epoch_seed)):
             if epoch == start_epoch and batch_index < skip_batches:
                 batch_index += 1
                 continue  # deterministic resume: replay the shuffle, skip done work
-            if profile_dir is not None and int(state.step) == 10 and profile_ctx is None:
+            if profile_dir is not None and step == 10 and profile_ctx is None:
                 # capture steps 10-20: past compilation, steady state
                 from twotowermlretrieval_tpu.utils.profiling import trace
 
                 profile_ctx = trace(str(profile_dir))
                 profile_ctx.__enter__()
+            t_step0 = time.time() if num_batches == 0 and epoch == start_epoch else None
             state, metrics = train_step(state, dev_batch)
-            if profile_ctx is not None and int(state.step) >= 20:
+            if t_step0 is not None:
+                # the first call blocks on (remote) XLA compilation; record
+                # it so steady-state throughput can be reported separately
+                compile_seconds = time.time() - t_step0
+                t_steady = time.time()
+                examples_steady = 0
+            step += 1
+            if profile_ctx is not None and step >= 20:
                 jax.block_until_ready(metrics)
                 profile_ctx.__exit__(None, None, None)
                 profile_ctx = None
@@ -145,16 +183,16 @@ def train(
             batch_index += 1
             num_batches += 1
             examples_seen += config.batch_size
-            step = int(state.step)
+            examples_steady += config.batch_size
             if step % config.log_every_steps == 0:
-                host_metrics = {k: float(v) for k, v in metrics.items()}
+                host_metrics = fetch_metrics(metrics)
                 host_metrics["examples_per_sec"] = examples_seen / max(time.time() - t_start, 1e-9)
                 logger.log({"epoch": epoch + 1, **{f"train_{k}": v for k, v in host_metrics.items()}}, step)
-            running = {k: running.get(k, 0.0) + float(v) for k, v in metrics.items()}
+            metric_handles.append(metrics)
             if ckpt and step % config.checkpoint_every_steps == 0:
                 ckpt.save(state, {"epoch": epoch, "batch_index": batch_index})
 
-        avg_train = {k: v / max(num_batches, 1) for k, v in running.items()}
+        avg_train = epoch_means(metric_handles)
 
         # per-epoch evaluation (ref: backend/main.py:275-296)
         batch_metrics, avg_val_loss = batch_evaluator.evaluate(eval_step, state, val_batcher)
@@ -172,7 +210,7 @@ def train(
         }
         log_data.update({f"batch_{k}": v for k, v in batch_metrics.items()})
         log_data.update({f"corpus_{k}": v for k, v in corpus_metrics.items()})
-        logger.log(log_data, int(state.step))
+        logger.log(log_data, step)
         epoch_metrics_history.append(log_data)
         if ckpt:
             ckpt.save(state, {"epoch": epoch + 1, "batch_index": 0})
@@ -180,6 +218,13 @@ def train(
     elapsed = time.time() - t_start
     results["train_seconds"] = elapsed
     results["examples_per_sec"] = examples_seen / max(elapsed, 1e-9)
+    try:
+        results["compile_seconds"] = compile_seconds
+        results["steady_examples_per_sec"] = (examples_steady - config.batch_size) / max(
+            time.time() - t_steady, 1e-9
+        )
+    except NameError:
+        pass  # resumed past all batches — no step ran
     results["epochs"] = epoch_metrics_history
 
     # artifact export (ref: backend/main.py:303-304)
