@@ -67,6 +67,7 @@ _KEY_TO_FIELD = {
     "FFN_DIM": "ffn_dim",
     "CHECKPOINT_EVERY_STEPS": "checkpoint_every_steps",
     "LOG_EVERY_STEPS": "log_every_steps",
+    "STEPS_PER_DISPATCH": "steps_per_dispatch",
 }
 _FIELD_TO_KEY = {v: k for k, v in _KEY_TO_FIELD.items()}
 
@@ -125,6 +126,10 @@ class Config:
     num_heads: int = 4  # transformer tower
     ffn_dim: int = 1024  # transformer tower
     checkpoint_every_steps: int = 500
+    # Train steps executed per jitted dispatch (lax.scan over a [K, B, W]
+    # packed-batch stack). On remote-attached TPUs each dispatch/transfer is
+    # a round-trip; K > 1 amortizes it. 1 = one step per dispatch.
+    steps_per_dispatch: int = 8
     log_every_steps: int = 50
 
     # ------------------------------------------------------------------

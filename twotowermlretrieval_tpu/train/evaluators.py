@@ -82,14 +82,14 @@ class BatchEvaluator:
             return {}, 0.0
 
         real = np.concatenate(masks)
-        q_embs = np.asarray(jnp.concatenate(dev_q))[real]
-        d_embs = np.asarray(jnp.concatenate(dev_p))[real]
+        # Embeddings and the full [N, N] similarity stay on device
+        # (ref: evaluators.py:53); only the [N] rank vector is fetched.
+        q_embs = jnp.concatenate(dev_q)[real]
+        d_embs = jnp.concatenate(dev_p)[real]
         total_loss = float(dev_loss)
-        # Full [N, N] similarity on device (ref: evaluators.py:53)
-        sim = np.asarray(
-            jnp.dot(jnp.asarray(q_embs), jnp.asarray(d_embs).T, preferred_element_type=jnp.float32)
-        )
-        ranks = ranks_of_diagonal(sim)
+        sim = jnp.dot(q_embs, d_embs.T, preferred_element_type=jnp.float32)
+        diag = jnp.diagonal(sim)
+        ranks = np.asarray(1 + jnp.sum(sim > diag[:, None], axis=1))
         metrics = {f"Recall@{k}": float((ranks <= k).mean()) for k in self.top_k}
         metrics["MRR"] = float((1.0 / ranks).mean())
         return metrics, total_loss / max(num_batches, 1)

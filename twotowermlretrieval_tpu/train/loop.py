@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import itertools
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -31,7 +32,7 @@ import numpy as np
 from twotowermlretrieval_tpu.config import Config
 from twotowermlretrieval_tpu.data.batching import (
     TripletBatcher,
-    prefetch_packed_to_device,
+    pack_batch,
     unpack_batch,
 )
 from twotowermlretrieval_tpu.data.glove import load_embedding_table
@@ -113,13 +114,23 @@ def train(
         length_buckets=config.length_buckets,
     )
 
-    # The step consumes ONE packed int32 buffer per batch (one H2D transfer
-    # per step on remote-attached TPUs) and unpacks it on device.
+    # Dispatch granularity: each transfer ships a [k, B, W] stack of packed
+    # int32 batch buffers and one jitted call lax.scans k train steps over
+    # it. On remote-attached TPUs every dispatch/transfer is a round-trip;
+    # k = config.steps_per_dispatch amortizes it.
+    K = max(1, int(config.steps_per_dispatch))
     raw_step = make_train_step(spec, config)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, packed):
         return raw_step(state, unpack_batch(packed, config.max_query_len))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_multi_step(state, packed_stack):
+        def body(st, packed):
+            return raw_step(st, unpack_batch(packed, config.max_query_len))
+
+        return jax.lax.scan(body, state, packed_stack)
 
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_epoch, skip_batches = 0, 0
@@ -134,17 +145,48 @@ def train(
     # only when logging (one stacked transfer) or at epoch end (one stacked
     # reduction over the whole epoch's handles).
     def fetch_metrics(m: Dict[str, jax.Array]) -> Dict[str, float]:
+        """Latest step's metrics (values are [k] rows per dispatch group)
+        in ONE stacked transfer."""
         keys = sorted(m)
-        vals = np.asarray(jnp.stack([m[k] for k in keys]))  # ONE transfer
+        vals = np.asarray(jnp.stack([jnp.atleast_1d(m[k])[-1] for k in keys]))
         return dict(zip(keys, vals.tolist()))
 
     def epoch_means(history) -> Dict[str, float]:
         if not history:
             return {}
         keys = sorted(history[0])
-        stacked = jnp.stack([jnp.stack([m[k] for k in keys]) for m in history])
-        vals = np.asarray(jnp.mean(stacked, axis=0))
+        cat = jnp.concatenate(
+            [jnp.stack([jnp.atleast_1d(m[k]) for k in keys]) for m in history], axis=1
+        )
+        vals = np.asarray(jnp.mean(cat, axis=1))
         return dict(zip(keys, vals.tolist()))
+
+    def packed_groups(batches):
+        """Stack up to K same-shape packed buffers into [k, B, W] arrays
+        (a length-bucket width change flushes the current group early)."""
+        group: list = []
+        for b in batches:
+            p = pack_batch(b)
+            if group and p.shape != group[0].shape:
+                yield np.stack(group)
+                group = []
+            group.append(p)
+            if len(group) == K:
+                yield np.stack(group)
+                group = []
+        if group:
+            yield np.stack(group)
+
+    def prefetch_groups(groups, size: int = 2):
+        import collections
+
+        q: collections.deque = collections.deque()
+        for g in groups:
+            q.append(jax.device_put(g))
+            if len(q) >= size:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
 
     profile_ctx = None
     t_start = time.time()
@@ -155,41 +197,48 @@ def train(
         epoch_seed = config.seed + 1000 + epoch  # deterministic shuffle per epoch
         metric_handles = []
         num_batches = 0
+        batch_iter = train_batcher.batches(seed=epoch_seed)
         batch_index = 0
-        for dev_batch in prefetch_packed_to_device(train_batcher.batches(seed=epoch_seed)):
-            if epoch == start_epoch and batch_index < skip_batches:
-                batch_index += 1
-                continue  # deterministic resume: replay the shuffle, skip done work
-            if profile_dir is not None and step == 10 and profile_ctx is None:
-                # capture steps 10-20: past compilation, steady state
+        if epoch == start_epoch and skip_batches:
+            # deterministic resume: replay the shuffle, skip done work
+            batch_iter = itertools.islice(batch_iter, skip_batches, None)
+            batch_index = skip_batches
+        for stack in prefetch_groups(packed_groups(batch_iter)):
+            k = stack.shape[0]
+            if profile_dir is not None and step <= 10 and profile_ctx is None:
+                # capture ~steps 10-20: past compilation, steady state
                 from twotowermlretrieval_tpu.utils.profiling import trace
 
                 profile_ctx = trace(str(profile_dir))
                 profile_ctx.__enter__()
             t_step0 = time.time() if num_batches == 0 and epoch == start_epoch else None
-            state, metrics = train_step(state, dev_batch)
+            if k > 1:
+                state, metrics = train_multi_step(state, stack)
+            else:
+                state, metrics = train_step(state, stack[0])
             if t_step0 is not None:
                 # the first call blocks on (remote) XLA compilation; record
                 # it so steady-state throughput can be reported separately
                 compile_seconds = time.time() - t_step0
                 t_steady = time.time()
                 examples_steady = 0
-            step += 1
+            prev_step = step
+            step += k
             if profile_ctx is not None and step >= 20:
                 jax.block_until_ready(metrics)
                 profile_ctx.__exit__(None, None, None)
                 profile_ctx = None
                 profile_dir = None
-            batch_index += 1
-            num_batches += 1
-            examples_seen += config.batch_size
-            examples_steady += config.batch_size
-            if step % config.log_every_steps == 0:
+            batch_index += k
+            num_batches += k
+            examples_seen += config.batch_size * k
+            examples_steady += config.batch_size * k
+            if step // config.log_every_steps != prev_step // config.log_every_steps:
                 host_metrics = fetch_metrics(metrics)
                 host_metrics["examples_per_sec"] = examples_seen / max(time.time() - t_start, 1e-9)
                 logger.log({"epoch": epoch + 1, **{f"train_{k}": v for k, v in host_metrics.items()}}, step)
             metric_handles.append(metrics)
-            if ckpt and step % config.checkpoint_every_steps == 0:
+            if ckpt and step // config.checkpoint_every_steps != prev_step // config.checkpoint_every_steps:
                 ckpt.save(state, {"epoch": epoch, "batch_index": batch_index})
 
         avg_train = epoch_means(metric_handles)
