@@ -40,20 +40,30 @@ class TextEncoder:
         self._encode_d = jax.jit(encode_document, static_argnames=("spec",))
 
     def _run(self, texts: Sequence[str], fn, max_len: int) -> np.ndarray:
-        # Dispatch every batch asynchronously, keep results on device, and
-        # fetch ONE concatenated array: host round-trips cost ~tens of ms
-        # on remote-attached TPUs, so per-batch np.asarray fetches dominate
-        # wall time for large corpora.
-        dev_outs, masks = [], []
+        # Dispatch batches asynchronously, keep results on device, and
+        # fetch in large concatenated chunks: host round-trips cost ~tens
+        # of ms on remote-attached TPUs, so per-batch np.asarray fetches
+        # dominate wall time — while holding an unbounded [N, H] resident
+        # on device would OOM for corpus-scale encodes. ~64 MB per chunk.
+        chunk_rows = max(1, (64 << 20) // (4 * self.spec.hidden_dim * self.batch_size))
+        host_chunks, dev_outs, masks = [], [], []
+
+        def flush():
+            if dev_outs:
+                host_chunks.append(np.asarray(jnp.concatenate(dev_outs, axis=0)))
+                dev_outs.clear()
+
         for tokens, lengths, mask in tokenize_corpus(
             texts, self.tokenizer, max_len, self.batch_size
         ):
             dev_outs.append(fn(self.params, jnp.asarray(tokens), jnp.asarray(lengths), self.spec))
             masks.append(mask.astype(bool))
-        if not dev_outs:
+            if len(dev_outs) >= chunk_rows:
+                flush()
+        flush()
+        if not host_chunks:
             return np.zeros((0, self.spec.hidden_dim), np.float32)
-        all_emb = np.asarray(jnp.concatenate(dev_outs, axis=0))
-        return all_emb[np.concatenate(masks)]
+        return np.concatenate(host_chunks, axis=0)[np.concatenate(masks)]
 
     def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
         """[N, H] query-tower embeddings (ref: query_inferencer.py:59-75,

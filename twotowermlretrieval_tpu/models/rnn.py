@@ -213,7 +213,7 @@ def _batched_matmul(a: jax.Array, b: jax.Array, cdt) -> jax.Array:
     )
 
 
-def _use_fused_cell(rnn_type: str, xp0, w_hh) -> bool:
+def _use_fused_cell(xp0, w_hh) -> bool:
     """True when the Pallas fused time-loop kernels (ops/rnn_scan.py) apply:
     TPU backend and TPU-tile-aligned shapes (H % 128, B % 16)."""
     if os.environ.get("TTMR_DISABLE_FUSED_RNN"):
@@ -271,7 +271,7 @@ def _scan_layer(
 
 
 def _scan_layer_fwd_impl(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
-    if _use_fused_cell(rnn_type, xps[0], w_hh):
+    if _use_fused_cell(xps[0], w_hh):
         from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_fwd
 
         outs, c_hist, h_final = rnn_layer_fwd(
@@ -322,7 +322,7 @@ def _scan_layer_fwd(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
 def _scan_layer_bwd(rnn_type, compute_dtype, residuals, cotangents):
     xps, mask2, w_hh, b_hh, outs, c_hist = residuals
     douts, d_hfinal = cotangents
-    if _use_fused_cell(rnn_type, xps[0], w_hh):
+    if _use_fused_cell(xps[0], w_hh):
         from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_bwd
 
         dxps, dw_hh, db_hh = rnn_layer_bwd(

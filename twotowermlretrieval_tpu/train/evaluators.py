@@ -62,12 +62,10 @@ class BatchEvaluator:
         dev_q, dev_p, masks = [], [], []
         dev_loss = None
         num_batches = 0
-        max_query_len = None
+        max_query_len = batcher.q_tokens.shape[1]  # fixed query width
 
         def tracked():
-            nonlocal max_query_len
             for batch in batcher.batches(seed=None):
-                max_query_len = batch.q_tokens.shape[1]
                 masks.append(batch.example_mask.astype(bool))
                 yield batch
 

@@ -141,24 +141,14 @@ def train(
 
     # Host round-trips are the enemy of the hot loop on remote-attached
     # TPUs (~tens of ms per fetch): the step counter is tracked host-side,
-    # per-step metrics stay on device as scalar handles, and fetches happen
-    # only when logging (one stacked transfer) or at epoch end (one stacked
-    # reduction over the whole epoch's handles).
+    # per-step metrics stay on device (one jitted running-sum add per
+    # dispatch group), and fetches happen only when logging or at epoch end
+    # (one stacked transfer each).
     def fetch_metrics(m: Dict[str, jax.Array]) -> Dict[str, float]:
         """Latest step's metrics (values are [k] rows per dispatch group)
         in ONE stacked transfer."""
         keys = sorted(m)
         vals = np.asarray(jnp.stack([jnp.atleast_1d(m[k])[-1] for k in keys]))
-        return dict(zip(keys, vals.tolist()))
-
-    def epoch_means(history) -> Dict[str, float]:
-        if not history:
-            return {}
-        keys = sorted(history[0])
-        cat = jnp.concatenate(
-            [jnp.stack([jnp.atleast_1d(m[k]) for k in keys]) for m in history], axis=1
-        )
-        vals = np.asarray(jnp.mean(cat, axis=1))
         return dict(zip(keys, vals.tolist()))
 
     def packed_groups(batches):
@@ -188,14 +178,30 @@ def train(
         while q:
             yield q.popleft()
 
+    # One jitted add per dispatch group keeps the epoch-mean accumulator
+    # O(1) on device (summing each group's [k] metric rows into scalars).
+    group_accum = jax.jit(
+        lambda acc, m: jax.tree.map(
+            lambda a, v: a + jnp.sum(jnp.atleast_1d(v)), acc, m
+        )
+    )
+    group_sum = jax.jit(
+        lambda m: jax.tree.map(lambda v: jnp.sum(jnp.atleast_1d(v)), m)
+    )
+
     profile_ctx = None
+    profile_started_at = None
     t_start = time.time()
     examples_seen = 0
     epoch_metrics_history = []
     step = int(state.step)
+    first_dispatch_done = False
+    compile_seconds = None
+    t_steady = t_start
+    steady_baseline = 0
     for epoch in range(start_epoch, config.epochs):
         epoch_seed = config.seed + 1000 + epoch  # deterministic shuffle per epoch
-        metric_handles = []
+        running = None
         num_batches = 0
         batch_iter = train_batcher.batches(seed=epoch_seed)
         batch_index = 0
@@ -205,43 +211,54 @@ def train(
             batch_index = skip_batches
         for stack in prefetch_groups(packed_groups(batch_iter)):
             k = stack.shape[0]
-            if profile_dir is not None and step <= 10 and profile_ctx is None:
-                # capture ~steps 10-20: past compilation, steady state
+            if (
+                profile_dir is not None
+                and profile_ctx is None
+                and first_dispatch_done
+                and step >= 10
+            ):
+                # capture ~10 steady-state steps, past the compiling first
+                # dispatch
                 from twotowermlretrieval_tpu.utils.profiling import trace
 
                 profile_ctx = trace(str(profile_dir))
                 profile_ctx.__enter__()
-            t_step0 = time.time() if num_batches == 0 and epoch == start_epoch else None
+                profile_started_at = step
+            t_step0 = None if first_dispatch_done else time.time()
             if k > 1:
                 state, metrics = train_multi_step(state, stack)
             else:
                 state, metrics = train_step(state, stack[0])
+            prev_step = step
+            step += k
+            batch_index += k
+            num_batches += k
+            examples_seen += config.batch_size * k
             if t_step0 is not None:
                 # the first call blocks on (remote) XLA compilation; record
                 # it so steady-state throughput can be reported separately
                 compile_seconds = time.time() - t_step0
                 t_steady = time.time()
-                examples_steady = 0
-            prev_step = step
-            step += k
-            if profile_ctx is not None and step >= 20:
+                steady_baseline = examples_seen
+                first_dispatch_done = True
+            if profile_ctx is not None and step >= profile_started_at + 10:
                 jax.block_until_ready(metrics)
                 profile_ctx.__exit__(None, None, None)
                 profile_ctx = None
                 profile_dir = None
-            batch_index += k
-            num_batches += k
-            examples_seen += config.batch_size * k
-            examples_steady += config.batch_size * k
             if step // config.log_every_steps != prev_step // config.log_every_steps:
                 host_metrics = fetch_metrics(metrics)
                 host_metrics["examples_per_sec"] = examples_seen / max(time.time() - t_start, 1e-9)
                 logger.log({"epoch": epoch + 1, **{f"train_{k}": v for k, v in host_metrics.items()}}, step)
-            metric_handles.append(metrics)
+            running = group_sum(metrics) if running is None else group_accum(running, metrics)
             if ckpt and step // config.checkpoint_every_steps != prev_step // config.checkpoint_every_steps:
                 ckpt.save(state, {"epoch": epoch, "batch_index": batch_index})
 
-        avg_train = epoch_means(metric_handles)
+        avg_train = (
+            {k: v / max(num_batches, 1) for k, v in fetch_metrics(running).items()}
+            if running is not None
+            else {}
+        )
 
         # per-epoch evaluation (ref: backend/main.py:275-296)
         batch_metrics, avg_val_loss = batch_evaluator.evaluate(eval_step, state, val_batcher)
@@ -267,13 +284,11 @@ def train(
     elapsed = time.time() - t_start
     results["train_seconds"] = elapsed
     results["examples_per_sec"] = examples_seen / max(elapsed, 1e-9)
-    try:
+    if first_dispatch_done:
         results["compile_seconds"] = compile_seconds
-        results["steady_examples_per_sec"] = (examples_steady - config.batch_size) / max(
+        results["steady_examples_per_sec"] = (examples_seen - steady_baseline) / max(
             time.time() - t_steady, 1e-9
         )
-    except NameError:
-        pass  # resumed past all batches — no step ran
     results["epochs"] = epoch_metrics_history
 
     # artifact export (ref: backend/main.py:303-304)
