@@ -104,3 +104,65 @@ def test_segmented_clustered_scores(rng):
     ref_vals, ref_ids = topk_oracle(jnp.asarray(q), jnp.asarray(d), 40)
     vals, ids = topk_segmented(jnp.asarray(q), jnp.asarray(d), k=40, segment=128)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
+# ---------------------------------------------------------------------------
+# int8 row-quantized corpus
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_rows_roundtrip():
+    from twotowermlretrieval_tpu.ops.topk import quantize_rows
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((100, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    values, scales = quantize_rows(x)
+    assert values.dtype == np.int8 and scales.dtype == np.float32
+    deq = values.astype(np.float32) * scales[:, None]
+    # symmetric int8 of unit-norm rows: elementwise error bounded by scale/2
+    assert np.abs(deq - x).max() <= (scales.max() / 2) + 1e-7
+    # zero rows quantize without NaN/inf
+    v0, s0 = quantize_rows(np.zeros((3, 8), np.float32))
+    assert np.all(v0 == 0) and np.all(np.isfinite(s0))
+
+
+def test_fused_topk_int8_matches_segmented():
+    """Kernel vs the XLA int8 fallback on the same quantized corpus — both
+    score in bf16, so ids/values must agree."""
+    from twotowermlretrieval_tpu.ops.topk import (
+        fused_topk_int8,
+        quantize_rows,
+        topk_segmented_int8,
+    )
+
+    rng = np.random.default_rng(1)
+    docs = rng.standard_normal((3000, 128)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.standard_normal((8, 128)).astype(np.float32)
+    values, scales = quantize_rows(docs)
+    kv, ki = fused_topk_int8(
+        jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales),
+        k=20, tile_n=1024, interpret=True,
+    )
+    sv, si = topk_segmented_int8(jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales), k=20)
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(sv), rtol=1e-5, atol=1e-5)
+    assert (np.asarray(ki) == np.asarray(si)).mean() > 0.95  # ties may reorder
+
+
+def test_int8_index_recall_vs_f32():
+    from twotowermlretrieval_tpu.ops.topk import quantize_rows, topk_oracle, topk_segmented_int8
+
+    rng = np.random.default_rng(2)
+    docs = rng.standard_normal((4000, 64)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    values, scales = quantize_rows(docs)
+    _, ref_ids = topk_oracle(jnp.asarray(q), jnp.asarray(docs), 50)
+    _, i8_ids = topk_segmented_int8(jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales), k=50)
+    ref_ids, i8_ids = np.asarray(ref_ids), np.asarray(i8_ids)
+    recall = np.mean([
+        len(set(ref_ids[b]) & set(i8_ids[b])) / 50 for b in range(q.shape[0])
+    ])
+    assert recall >= 0.9, recall

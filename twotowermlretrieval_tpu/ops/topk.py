@@ -296,3 +296,194 @@ def topk_segmented(
     # padding never wins (scores NEG_INF), but guard ids anyway
     ids = jnp.where(vals <= NEG_INF, -1, ids)
     return vals, ids
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized corpus variant
+# ---------------------------------------------------------------------------
+
+
+def quantize_rows(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8 quantization: values [N, H] int8 + scales
+    [N] f32 with ``x ≈ values * scales[:, None]``.
+
+    Halves the corpus HBM footprint and scan traffic vs bf16 (4x vs f32) —
+    the fused top-k kernel is HBM-bound, so the scan speeds up by the same
+    factor. For L2-normalized embeddings the per-element error is ~0.4%,
+    far below typical score gaps at top-50.
+    """
+    x = np.asarray(x, np.float32)
+    scales = np.abs(x).max(axis=1) / 127.0
+    scales = np.where(scales == 0.0, 1.0, scales).astype(np.float32)
+    values = np.clip(np.rint(x / scales[:, None]), -127, 127).astype(np.int8)
+    return values, scales
+
+
+def _fused_topk_int8_kernel(
+    n_valid_ref,  # SMEM [1] int32
+    q_ref,  # VMEM [B, H] bf16
+    d_ref,  # VMEM [TILE_N, H] int8 — current document tile
+    s_ref,  # VMEM [1, TILE_N] f32 — per-doc scales for this tile
+    out_vals_ref,  # VMEM [B, K]
+    out_ids_ref,  # VMEM [B, K]
+    run_vals,  # VMEM scratch [B, K]
+    run_ids,  # VMEM scratch [B, K]
+    *,
+    k: int,
+    tile_n: int,
+):
+    step = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+    B = q_ref.shape[0]
+
+    @pl.when(step == 0)
+    def _init():
+        run_vals[:] = jnp.full((B, k), NEG_INF, jnp.float32)
+        run_ids[:] = jnp.full((B, k), -1, jnp.int32)
+
+    # MXU: dequantize the scale AFTER the matmul — per-doc scales factor out
+    # of the contraction: q @ (d_i8 * s)^T == (q @ d_i8^T) * s^T.
+    scores = jax.lax.dot_general(
+        q_ref[:], d_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) * s_ref[0][None, :]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
+    global_ids = col_ids + step * tile_n
+    scores = jnp.where(global_ids < n_valid_ref[0], scores, NEG_INF)
+
+    int_max = jnp.int32(2**31 - 1)
+
+    def has_improvement(carry):
+        scores, rv, ri = carry
+        return jnp.any(scores > rv[:, k - 1][:, None])
+
+    def extract_pass(carry):
+        scores, rv, ri = carry
+        v = jnp.max(scores, axis=1)
+        hit_all = scores >= v[:, None]
+        ids_v = jnp.min(jnp.where(hit_all, global_ids, int_max), axis=1)
+        hit_sel = hit_all & (global_ids == ids_v[:, None])
+        improves = v > rv[:, k - 1]
+        rv, ri = _sorted_insert(rv, ri, v, ids_v, improves, k)
+        scores = jnp.where(hit_sel, NEG_INF, scores)
+        return scores, rv, ri
+
+    @pl.when(has_improvement((scores, run_vals[:], run_ids[:])))
+    def _merge():
+        _, rv, ri = jax.lax.while_loop(
+            has_improvement, extract_pass, (scores, run_vals[:], run_ids[:])
+        )
+        run_vals[:] = rv
+        run_ids[:] = ri
+
+    @pl.when(step == num_steps - 1)
+    def _finalize():
+        out_vals_ref[:] = run_vals[:]
+        out_ids_ref[:] = run_ids[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def fused_topk_int8(
+    queries: jax.Array,  # [B, H] float
+    doc_values: jax.Array,  # [N, H] int8
+    doc_scales: jax.Array,  # [N] f32
+    k: int = 50,
+    tile_n: int = 4096,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming fused score+top-k over an int8 row-quantized corpus.
+
+    Exactness contract: identical to ``topk_oracle(queries,
+    doc_values * doc_scales[:, None], k)`` up to bf16 rounding and ties —
+    the quantization error itself is a property of the stored index, not
+    of this kernel.
+    """
+    B, H = queries.shape
+    N = doc_values.shape[0]
+    if doc_values.shape[1] != H:
+        raise ValueError(f"dim mismatch: queries H={H}, docs H={doc_values.shape[1]}")
+    if k > N:
+        raise ValueError(f"k={k} larger than corpus N={N}")
+
+    n_pad = (-N) % tile_n
+    if n_pad:
+        doc_values = jnp.concatenate(
+            [doc_values, jnp.zeros((n_pad, H), doc_values.dtype)], axis=0
+        )
+        doc_scales = jnp.concatenate([doc_scales, jnp.zeros((n_pad,), doc_scales.dtype)])
+    num_tiles = doc_values.shape[0] // tile_n
+
+    n_valid = jnp.asarray([N], jnp.int32)
+    kernel = functools.partial(_fused_topk_int8_kernel, k=k, tile_n=tile_n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, H), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, n: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, k), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, k), jnp.float32),
+            pltpu.VMEM((B, k), jnp.int32),
+        ],
+    )
+    vals, ids = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * doc_values.shape[0],
+            bytes_accessed=doc_values.shape[0] * (H + 4) + B * H * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_valid, queries.astype(jnp.bfloat16), doc_values, doc_scales[None, :])
+    return vals, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "segment"))
+def topk_segmented_int8(
+    queries: jax.Array,  # [B, H]
+    doc_values: jax.Array,  # [N, H] int8
+    doc_scales: jax.Array,  # [N] f32
+    k: int = 50,
+    segment: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """XLA fallback for the int8 index: score with post-matmul scaling,
+    then the segment-max covering top-k."""
+    scores_docs = doc_values.astype(jnp.bfloat16)
+    scaled = lambda s: s * doc_scales[None, :]
+    B, H = queries.shape
+    N = doc_values.shape[0]
+    if k > N:
+        raise ValueError(f"k={k} larger than corpus N={N}")
+    scores = jax.lax.dot_general(
+        queries.astype(jnp.bfloat16), scores_docs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scaled(scores)
+    n_pad = (-N) % segment
+    if n_pad:
+        scores = jnp.pad(scores, ((0, 0), (0, n_pad)), constant_values=NEG_INF)
+    S = scores.shape[1] // segment
+    seg_scores = scores.reshape(B, S, segment)
+    seg_max = jnp.max(seg_scores, axis=-1)
+    k_seg = min(k, S)
+    _, seg_idx = jax.lax.top_k(seg_max, k_seg)
+    cand = jnp.take_along_axis(seg_scores, seg_idx[..., None], axis=1)
+    cand_ids = seg_idx[..., None] * segment + jnp.arange(segment)[None, None, :]
+    vals, loc = jax.lax.top_k(cand.reshape(B, -1), k)
+    ids = jnp.take_along_axis(cand_ids.reshape(B, -1), loc, axis=1).astype(jnp.int32)
+    ids = jnp.where(vals <= NEG_INF, -1, ids)
+    return vals, ids

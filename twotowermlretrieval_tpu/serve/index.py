@@ -22,7 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from twotowermlretrieval_tpu.ops.topk import fused_topk, topk_segmented
+from twotowermlretrieval_tpu.ops.topk import (
+    fused_topk,
+    fused_topk_int8,
+    quantize_rows,
+    topk_segmented,
+    topk_segmented_int8,
+)
 
 _SUBLANE = 8  # pad query batches to a VPU-friendly multiple
 
@@ -31,7 +37,7 @@ class RetrievalIndex:
     def __init__(
         self,
         doc_embeddings: np.ndarray,  # [N, H] f32 (host)
-        storage_dtype: str = "bfloat16",
+        storage_dtype: str = "bfloat16",  # 'float32' | 'bfloat16' | 'int8'
         mesh=None,
         use_pallas: Optional[bool] = None,
         interpret: bool = False,
@@ -43,16 +49,27 @@ class RetrievalIndex:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
-        dtype = jnp.dtype(storage_dtype)
-        if mesh is not None:
-            from twotowermlretrieval_tpu.parallel.topk import shard_corpus
-
-            self._docs, self._n_valid = shard_corpus(
-                np.asarray(doc_embeddings, np.float32).astype(dtype), mesh
-            )
-        else:
-            self._docs = jnp.asarray(np.asarray(doc_embeddings)).astype(dtype)
+        # 'int8' row-quantizes the corpus (ops.topk.quantize_rows): 2x less
+        # HBM + scan traffic than bf16 at ~0.97 top-50 recall vs f32.
+        self.quantized = storage_dtype == "int8"
+        if self.quantized and mesh is not None:
+            raise NotImplementedError("int8 storage with a sharded corpus is not wired yet")
+        if self.quantized:
+            values, scales = quantize_rows(np.asarray(doc_embeddings, np.float32))
+            self._docs = jnp.asarray(values)
+            self._scales = jnp.asarray(scales)
             self._n_valid = self.num_docs
+        else:
+            dtype = jnp.dtype(storage_dtype)
+            if mesh is not None:
+                from twotowermlretrieval_tpu.parallel.topk import shard_corpus
+
+                self._docs, self._n_valid = shard_corpus(
+                    np.asarray(doc_embeddings, np.float32).astype(dtype), mesh
+                )
+            else:
+                self._docs = jnp.asarray(np.asarray(doc_embeddings)).astype(dtype)
+                self._n_valid = self.num_docs
 
     def search(self, query_embeddings: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """[B, H] queries -> ([B, k] scores, [B, k] doc ids), exact,
@@ -64,6 +81,16 @@ class RetrievalIndex:
         pad = (-B) % _SUBLANE
         if pad:
             q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)], axis=0)
+        if self.quantized:
+            qj = jnp.asarray(q)
+            if self.use_pallas:
+                vals, ids = fused_topk_int8(
+                    qj, self._docs, self._scales, k=k, interpret=self.interpret
+                )
+            else:
+                vals, ids = topk_segmented_int8(qj, self._docs, self._scales, k=k)
+            return np.asarray(vals)[:B], np.asarray(ids)[:B]
+
         qj = jnp.asarray(q).astype(self._docs.dtype)
 
         if self.mesh is not None:
