@@ -87,3 +87,33 @@ def test_fused_gru_bwd_matches_autodiff(gru_case):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(gw), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(db), np.asarray(gb), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_gru_multi_b_block_matches_single(gru_case):
+    """B-blocked grid (nb > 1) must be numerically identical to one block;
+    exercises per-block state reset and cross-block dW accumulation."""
+    cell, xps, mask2, w_hh, b_hh, cts, ct_fin = gru_case
+    outs_1, c1, fin_1 = rnn_layer_fwd(
+        cell, xps, mask2, w_hh, b_hh, compute_dtype="float32", interpret=True
+    )
+    outs_2, c2, fin_2 = rnn_layer_fwd(
+        cell, xps, mask2, w_hh, b_hh, compute_dtype="float32", interpret=True,
+        b_block=xps[0].shape[1] // 2,
+    )
+    for a, b in zip(outs_1, outs_2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(fin_1), np.asarray(fin_2))
+
+    dx1, dw1, db1 = rnn_layer_bwd(
+        cell, xps, mask2, w_hh, b_hh, outs_1, c1, cts, ct_fin,
+        compute_dtype="float32", interpret=True,
+    )
+    dx2, dw2, db2 = rnn_layer_bwd(
+        cell, xps, mask2, w_hh, b_hh, outs_1, c1, cts, ct_fin,
+        compute_dtype="float32", interpret=True, b_block=xps[0].shape[1] // 2,
+    )
+    for a, b in zip(dx1, dx2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # dW/db sums reassociate across blocks -> tiny f32 differences
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db1), np.asarray(db2), rtol=1e-5, atol=1e-4)

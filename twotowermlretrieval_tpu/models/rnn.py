@@ -218,9 +218,11 @@ def _use_fused_cell(xp0, w_hh) -> bool:
     TPU backend and TPU-tile-aligned shapes (H % 128, B % 16)."""
     if os.environ.get("TTMR_DISABLE_FUSED_RNN"):
         return False
+    from twotowermlretrieval_tpu.ops.rnn_scan import pick_b_block
+
     T, B, GH = xp0.shape
     H = w_hh.shape[1]
-    if H % 128 != 0 or B % 16 != 0:
+    if H % 128 != 0 or not pick_b_block(B):
         return False
     try:
         return jax.devices()[0].platform == "tpu"

@@ -70,21 +70,36 @@ def _outer_acc(h_prev, dg, cdt):
 # flipped copies.
 
 
-def _fwd_tmap(d: int, T: int):
-    return (lambda i: (i, 0, 0)) if d == 0 else (lambda i: (T - 1 - i, 0, 0))
+def _fwd_tmap(d: int, T: int, mask: bool = False):
+    t = (lambda i: i) if d == 0 else (lambda i: T - 1 - i)
+    if mask:
+        return lambda b, i: (t(i), 0, b)
+    return lambda b, i: (t(i), b, 0)
 
 
-def _bwd_tmap(d: int, T: int):
+def _bwd_tmap(d: int, T: int, mask: bool = False):
     # reverse traversal of each direction's own processing order
-    return (lambda j: (T - 1 - j, 0, 0)) if d == 0 else (lambda j: (j, 0, 0))
+    t = (lambda j: T - 1 - j) if d == 0 else (lambda j: j)
+    if mask:
+        return lambda b, j: (t(j), 0, b)
+    return lambda b, j: (t(j), b, 0)
 
 
 def _bwd_prev_tmap(d: int, T: int):
     # where the fused forward stored the direction's state at position p-1
     # (clamped; the kernel zero-overrides at the first position p == 0)
     if d == 0:
-        return lambda j: (jnp.maximum(T - 2 - j, 0), 0, 0)
-    return lambda j: (jnp.minimum(j + 1, T - 1), 0, 0)
+        return lambda b, j: (jnp.maximum(T - 2 - j, 0), b, 0)
+    return lambda b, j: (jnp.minimum(j + 1, T - 1), b, 0)
+
+
+def pick_b_block(B: int, limit: int = 256) -> int:
+    """Largest multiple-of-16 divisor of B that is <= limit (VMEM budget:
+    ~512 kernel rows OOM the 16MB scoped limit at H=256). 0 if none."""
+    for bb in range(min(B, limit), 0, -16):
+        if B % bb == 0 and bb % 16 == 0:
+            return bb
+    return 0
 
 
 # ---------------------------------------------------------------------------
@@ -107,8 +122,8 @@ def _fwd_kernel(*refs, cell: str, n_dir: int, cdt):
     h_scr = refs[i]; i += 1
     c_scr = refs[i] if lstm else None
 
-    step = pl.program_id(0)
-    num_steps = pl.num_programs(0)
+    step = pl.program_id(1)  # grid = (B_blocks, T); T iterates fastest
+    num_steps = pl.num_programs(1)
 
     @pl.when(step == 0)
     def _init():
@@ -155,7 +170,9 @@ def _fwd_kernel(*refs, cell: str, n_dir: int, cdt):
         hfinal_ref[:] = h_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("cell", "compute_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cell", "compute_dtype", "interpret", "b_block")
+)
 def rnn_layer_fwd(
     cell: str,
     xps: Sequence[jax.Array],  # per-direction [T, B, G*H] f32, original time order
@@ -164,6 +181,7 @@ def rnn_layer_fwd(
     b_hh: jax.Array,  # [D, G*H] f32
     compute_dtype: str = "bfloat16",
     interpret: bool = False,
+    b_block: int = 0,  # 0 = auto (largest <=256 divisor of B)
 ):
     """Fused recurrent layer forward.
 
@@ -177,37 +195,41 @@ def rnn_layer_fwd(
     lstm = cell == "LSTM"
     mask3 = mask[:, None, :]  # [T, 1, B] so blocks are (1, 1, B)
 
+    BB = b_block or pick_b_block(B)
+    if not BB or B % BB:
+        raise ValueError(f"no valid B block for B={B}; caller should fall back")
+    nb = B // BB
     n_state_outs = 2 * D if lstm else D
     results = pl.pallas_call(
         functools.partial(_fwd_kernel, cell=cell, n_dir=D, cdt=cdt),
-        grid=(T,),
+        grid=(nb, T),
         in_specs=[
             *[
-                pl.BlockSpec((1, B, GH), _fwd_tmap(d, T), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, BB, GH), _fwd_tmap(d, T), memory_space=pltpu.VMEM)
                 for d in range(D)
             ],
             *[
-                pl.BlockSpec((1, 1, B), _fwd_tmap(d, T), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, 1, BB), _fwd_tmap(d, T, mask=True), memory_space=pltpu.VMEM)
                 for d in range(D)
             ],
-            pl.BlockSpec((D, H, GH), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, GH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H, GH), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, GH), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             # out_0..out_{D-1}, then (LSTM) c_0..c_{D-1}: position k uses
             # direction (k % D)'s time map
             *[
-                pl.BlockSpec((1, B, H), _fwd_tmap(k % D, T), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, BB, H), _fwd_tmap(k % D, T), memory_space=pltpu.VMEM)
                 for k in range(n_state_outs)
             ],
-            pl.BlockSpec((D, B, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, BB, H), lambda b, i: (0, b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             *[jax.ShapeDtypeStruct((T, B, H), jnp.float32) for _ in range(n_state_outs)],
             jax.ShapeDtypeStruct((D, B, H), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((D, B, H), jnp.float32)] * (2 if lstm else 1)
+            [pltpu.VMEM((D, BB, H), jnp.float32)] * (2 if lstm else 1)
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * D * B * H * GH,
@@ -246,8 +268,10 @@ def _bwd_kernel(*refs, cell: str, n_dir: int, cdt):
     dc_scr = refs[i] if lstm else None; i += 1 if lstm else 0
     dw_scr, db_scr = refs[i], refs[i + 1]
 
-    step = pl.program_id(0)
-    num_steps = pl.num_programs(0)
+    b_blk = pl.program_id(0)  # grid = (B_blocks, T); T iterates fastest
+    num_blocks = pl.num_programs(0)
+    step = pl.program_id(1)
+    num_steps = pl.num_programs(1)
     # reversed traversal: the final grid step handles each direction's first
     # position, where the p-1 state is the true zero initial state (the
     # clamped index map loaded garbage there)
@@ -255,11 +279,16 @@ def _bwd_kernel(*refs, cell: str, n_dir: int, cdt):
 
     @pl.when(step == 0)
     def _init():
+        # dh/dc carries reset per B block; the weight-grad accumulators
+        # run across ALL blocks and timesteps (init once, emit once)
         dh_scr[:] = dhf_ref[:]
-        dw_scr[:] = jnp.zeros_like(dw_scr)
-        db_scr[:] = jnp.zeros_like(db_scr)
         if lstm:
             dc_scr[:] = jnp.zeros_like(dc_scr)
+
+        @pl.when(b_blk == 0)
+        def _init_w():
+            dw_scr[:] = jnp.zeros_like(dw_scr)
+            db_scr[:] = jnp.zeros_like(db_scr)
 
     for d in range(n_dir):  # static unroll
         h_prev = jnp.where(is_first_pos, 0.0, hprev_refs[d][0])  # [B, H] f32
@@ -320,13 +349,15 @@ def _bwd_kernel(*refs, cell: str, n_dir: int, cdt):
         dw_scr[d] += _outer_acc(h_prev, dhp, cdt)
         db_scr[d] += jnp.sum(dhp, axis=0)
 
-    @pl.when(step == num_steps - 1)
+    @pl.when((step == num_steps - 1) & (b_blk == num_blocks - 1))
     def _fin():
         dw_ref[:] = dw_scr[:]
         db_ref[:] = db_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("cell", "compute_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cell", "compute_dtype", "interpret", "b_block")
+)
 def rnn_layer_bwd(
     cell: str,
     xps: Sequence[jax.Array],  # per-direction [T, B, G*H] f32
@@ -339,6 +370,7 @@ def rnn_layer_bwd(
     d_hfinal: jax.Array,  # [D, B, H] f32
     compute_dtype: str = "bfloat16",
     interpret: bool = False,
+    b_block: int = 0,  # 0 = auto (largest <=256 divisor of B)
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array]:
     """Fused recurrent layer backward.
 
@@ -352,24 +384,29 @@ def rnn_layer_bwd(
     rnn = cell == "RNN"
     mask3 = mask[:, None, :]
 
+    BB = b_block or pick_b_block(B)
+    if not BB or B % BB:
+        raise ValueError(f"no valid B block for B={B}; caller should fall back")
+    nb = B // BB
+
     extra_in_specs = []
     extra_inputs = []
     if lstm:
         extra_in_specs += [
-            pl.BlockSpec((1, B, H), _bwd_prev_tmap(d, T), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, BB, H), _bwd_prev_tmap(d, T), memory_space=pltpu.VMEM)
             for d in range(D)
         ]
         extra_inputs += list(c_hist)
     if rnn:
         extra_in_specs += [
-            pl.BlockSpec((1, B, H), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, BB, H), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
             for d in range(D)
         ]
         extra_inputs += list(outs)
 
-    scratch_shapes = [pltpu.VMEM((D, B, H), jnp.float32)]
+    scratch_shapes = [pltpu.VMEM((D, BB, H), jnp.float32)]
     if lstm:
-        scratch_shapes.append(pltpu.VMEM((D, B, H), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((D, BB, H), jnp.float32))
     scratch_shapes += [
         pltpu.VMEM((D, H, GH), jnp.float32),
         pltpu.VMEM((D, GH), jnp.float32),
@@ -377,37 +414,37 @@ def rnn_layer_bwd(
 
     results = pl.pallas_call(
         functools.partial(_bwd_kernel, cell=cell, n_dir=D, cdt=cdt),
-        grid=(T,),
+        grid=(nb, T),
         in_specs=[
             *[
-                pl.BlockSpec((1, B, GH), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, BB, GH), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
                 for d in range(D)
             ],
             *[
-                pl.BlockSpec((1, 1, B), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, 1, BB), _bwd_tmap(d, T, mask=True), memory_space=pltpu.VMEM)
                 for d in range(D)
             ],
             *[
-                pl.BlockSpec((1, B, H), _bwd_prev_tmap(d, T), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, BB, H), _bwd_prev_tmap(d, T), memory_space=pltpu.VMEM)
                 for d in range(D)
             ],
             *extra_in_specs,
             *[
-                pl.BlockSpec((1, B, H), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, BB, H), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
                 for d in range(D)
             ],
-            pl.BlockSpec((D, H, GH), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, GH, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, GH), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, B, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H, GH), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, GH, H), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, GH), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, BB, H), lambda b, j: (0, b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             *[
-                pl.BlockSpec((1, B, GH), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, BB, GH), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
                 for d in range(D)
             ],
-            pl.BlockSpec((D, H, GH), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, GH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H, GH), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, GH), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             *[jax.ShapeDtypeStruct((T, B, GH), cdt) for _ in range(D)],
