@@ -324,3 +324,28 @@ def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_distributed_topk_int8_matches_local():
+    """int8 sharded retrieval over the 8-device mesh == unsharded int8."""
+    from twotowermlretrieval_tpu.ops.topk import quantize_rows, topk_segmented_int8
+    from twotowermlretrieval_tpu.parallel.mesh import make_mesh
+    from twotowermlretrieval_tpu.parallel.topk import (
+        distributed_topk_int8,
+        shard_corpus_int8,
+    )
+
+    rng = np.random.default_rng(0)
+    docs = rng.standard_normal((1000, 64)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    mesh = make_mesh(data=8, model=1)
+    values_sh, scales_sh, n_valid = shard_corpus_int8(docs, mesh)
+    dv, di = distributed_topk_int8(
+        jnp.asarray(q), values_sh, scales_sh, k=10, mesh=mesh,
+        n_valid=n_valid, use_pallas=False,
+    )
+    values, scales = quantize_rows(docs)
+    lv, li = topk_segmented_int8(jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales), k=10)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(lv), rtol=1e-5, atol=1e-5)
+    assert (np.asarray(di) == np.asarray(li)).mean() > 0.95  # ties may reorder

@@ -53,8 +53,12 @@ class RetrievalIndex:
         # HBM + scan traffic than bf16 at ~0.97 top-50 recall vs f32.
         self.quantized = storage_dtype == "int8"
         if self.quantized and mesh is not None:
-            raise NotImplementedError("int8 storage with a sharded corpus is not wired yet")
-        if self.quantized:
+            from twotowermlretrieval_tpu.parallel.topk import shard_corpus_int8
+
+            self._docs, self._scales, self._n_valid = shard_corpus_int8(
+                np.asarray(doc_embeddings, np.float32), mesh
+            )
+        elif self.quantized:
             values, scales = quantize_rows(np.asarray(doc_embeddings, np.float32))
             self._docs = jnp.asarray(values)
             self._scales = jnp.asarray(scales)
@@ -83,7 +87,15 @@ class RetrievalIndex:
             q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)], axis=0)
         if self.quantized:
             qj = jnp.asarray(q)
-            if self.use_pallas:
+            if self.mesh is not None:
+                from twotowermlretrieval_tpu.parallel.topk import distributed_topk_int8
+
+                vals, ids = distributed_topk_int8(
+                    qj, self._docs, self._scales, k=k, mesh=self.mesh,
+                    n_valid=self._n_valid, use_pallas=self.use_pallas,
+                    interpret=self.interpret,
+                )
+            elif self.use_pallas:
                 vals, ids = fused_topk_int8(
                     qj, self._docs, self._scales, k=k, interpret=self.interpret
                 )
