@@ -174,12 +174,55 @@ def bench_torch(host_batch, table) -> float:
     return BATCH / per_step
 
 
+def bench_retrieval():
+    """Secondary detail (stderr only): exact top-50 latency over 1M docs."""
+    import jax
+    import jax.numpy as jnp
+
+    from twotowermlretrieval_tpu.ops.topk import fused_topk, fused_topk_int8, quantize_rows
+
+    N, H, K, B = 1_000_000, 128, 50, 8
+    rng = np.random.default_rng(SEED)
+    docs = rng.standard_normal((N, H)).astype(np.float32)
+    vals_i8, scales = quantize_rows(docs)
+    docs_bf = jnp.asarray(docs, jnp.bfloat16)
+    d_i8, d_s = jnp.asarray(vals_i8), jnp.asarray(scales)
+    q = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
+    jax.block_until_ready((docs_bf, d_i8))
+
+    def chain_time(fn, M):
+        @jax.jit
+        def f(q):
+            def body(acc, _):
+                v, _ = fn(q + acc * 1e-30)
+                return acc * 0.5 + jnp.sum(v) * 1e-20, None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=M)
+            return acc
+        float(f(q))
+        t0 = time.time(); float(f(q)); return time.time() - t0
+
+    for name, fn in (
+        ("bf16", lambda q: fused_topk(q.astype(jnp.bfloat16), docs_bf, k=K, tile_n=8192)),
+        ("int8", lambda q: fused_topk_int8(q, d_i8, d_s, k=K, tile_n=8192)),
+    ):
+        # repeat the short run and take its minimum: through the remote
+        # relay a single reference measurement is noisy enough to make the
+        # difference go negative
+        base = min(chain_time(fn, 1) for _ in range(3))
+        t = max(chain_time(fn, 41) - base, 0.0) / 40
+        log(f"retrieval {name}: {t*1e3:.2f} ms for {B} queries x top-{K} over 1M x {H} docs")
+
+
 def main():
     rng = np.random.default_rng(SEED)
     table = (rng.standard_normal((VOCAB, EMBED_DIM)) * 0.1).astype(np.float32)
     host_batch = make_host_batch(rng)
 
     tpu_eps = bench_tpu(host_batch, table)
+    try:
+        bench_retrieval()
+    except Exception as e:  # secondary detail must never break the headline
+        log(f"retrieval bench skipped: {type(e).__name__}: {e}")
     torch_eps = bench_torch(host_batch, table)
 
     print(json.dumps({
