@@ -9,6 +9,7 @@ jitted tower, return numpy embeddings. One compiled executable per
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -18,6 +19,19 @@ import numpy as np
 from twotowermlretrieval_tpu.data.batching import tokenize_corpus
 from twotowermlretrieval_tpu.models.two_tower import TwoTowerSpec, encode_document, encode_query
 from twotowermlretrieval_tpu.tokenizer import Tokenizer
+
+
+# Tokens and lengths ride ONE packed int32 buffer per batch (one transfer
+# per dispatch on remote-attached TPUs); module-level jits so executables
+# are shared across TextEncoder instances.
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _encode_query_packed(params, packed, spec):
+    return encode_query(params, packed[:, :-1], packed[:, -1], spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _encode_document_packed(params, packed, spec):
+    return encode_document(params, packed[:, :-1], packed[:, -1], spec)
 
 
 class TextEncoder:
@@ -36,16 +50,20 @@ class TextEncoder:
         self.batch_size = batch_size
         self.max_query_len = max_query_len
         self.max_doc_len = max_doc_len
-        self._encode_q = jax.jit(encode_query, static_argnames=("spec",))
-        self._encode_d = jax.jit(encode_document, static_argnames=("spec",))
+        # corpus-scale encodes amortize per-dispatch round-trips with a
+        # bigger batch (the fused kernels B-block internally)
+        self.corpus_batch_size = max(batch_size, 1024)
 
     def _run(self, texts: Sequence[str], fn, max_len: int) -> np.ndarray:
+        # batch: large for corpora, small (multiple of 16, fused-eligible)
+        # for single-query serving calls
+        bs = min(self.corpus_batch_size, max(16, -(-len(texts) // 16) * 16))
         # Dispatch batches asynchronously, keep results on device, and
         # fetch in large concatenated chunks: host round-trips cost ~tens
         # of ms on remote-attached TPUs, so per-batch np.asarray fetches
         # dominate wall time — while holding an unbounded [N, H] resident
         # on device would OOM for corpus-scale encodes. ~64 MB per chunk.
-        chunk_rows = max(1, (64 << 20) // (4 * self.spec.hidden_dim * self.batch_size))
+        chunk_rows = max(1, (64 << 20) // (4 * self.spec.hidden_dim * bs))
         host_chunks, dev_outs, masks = [], [], []
 
         def flush():
@@ -53,10 +71,11 @@ class TextEncoder:
                 host_chunks.append(np.asarray(jnp.concatenate(dev_outs, axis=0)))
                 dev_outs.clear()
 
-        for tokens, lengths, mask in tokenize_corpus(
-            texts, self.tokenizer, max_len, self.batch_size
-        ):
-            dev_outs.append(fn(self.params, jnp.asarray(tokens), jnp.asarray(lengths), self.spec))
+        for tokens, lengths, mask in tokenize_corpus(texts, self.tokenizer, max_len, bs):
+            packed = np.concatenate(
+                [tokens, lengths[:, None].astype(np.int32)], axis=1
+            )
+            dev_outs.append(fn(self.params, jnp.asarray(packed), self.spec))
             masks.append(mask.astype(bool))
             if len(dev_outs) >= chunk_rows:
                 flush()
@@ -68,11 +87,11 @@ class TextEncoder:
     def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
         """[N, H] query-tower embeddings (ref: query_inferencer.py:59-75,
         including the zero-vector result for token-less inputs)."""
-        return self._run(texts, self._encode_q, self.max_query_len)
+        return self._run(texts, _encode_query_packed, self.max_query_len)
 
     def encode_documents(self, texts: Sequence[str]) -> np.ndarray:
         """[N, H] doc-tower embeddings (ref: backend/main.py:125-133)."""
-        return self._run(texts, self._encode_d, self.max_doc_len)
+        return self._run(texts, _encode_document_packed, self.max_doc_len)
 
     def encode_query(self, text: str) -> np.ndarray:
         """Single query -> [H] (the serving hot path)."""
