@@ -117,3 +117,18 @@ def test_fused_gru_multi_b_block_matches_single(gru_case):
     # dW/db sums reassociate across blocks -> tiny f32 differences
     np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2), rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(db1), np.asarray(db2), rtol=1e-5, atol=1e-4)
+
+
+def test_pick_b_block_constraints():
+    """Chosen row blocks must satisfy Mosaic's lane tiling for the mask
+    view: multiple of 128, or the whole batch dimension."""
+    from twotowermlretrieval_tpu.ops.rnn_scan import pick_b_block
+
+    for B in (16, 32, 64, 128, 144, 240, 256, 512, 1008, 1024, 4096):
+        bb = pick_b_block(B)
+        if bb:
+            assert B % bb == 0
+            assert bb % 128 == 0 or bb == B
+            assert bb <= 256 and bb % 16 == 0
+    assert pick_b_block(1008) == 0  # not divisible by 128/256, too big whole
+    assert pick_b_block(8) == 0  # below the 16-row sublane requirement

@@ -94,10 +94,18 @@ def _bwd_prev_tmap(d: int, T: int):
 
 
 def pick_b_block(B: int, limit: int = 256) -> int:
-    """Largest multiple-of-16 divisor of B that is <= limit (VMEM budget:
-    ~512 kernel rows OOM the 16MB scoped limit at H=256). 0 if none."""
-    for bb in range(min(B, limit), 0, -16):
-        if B % bb == 0 and bb % 16 == 0:
+    """Row-block size for the (B_blocks, T) grid, or 0 when no valid block
+    exists (callers fall back to the XLA scan).
+
+    Constraints: <= limit rows (VMEM budget: ~512 kernel rows OOM the 16MB
+    scoped limit at H=256); divides B; and — because the mask view's block
+    puts rows in the LANE dimension — either a multiple of 128 or equal to
+    the full B (Mosaic requires last-dim blocks of 128k or the whole axis).
+    """
+    if B <= limit and B % 16 == 0:
+        return B  # single block: every view's block equals the full dim
+    for bb in (256, 128):
+        if bb <= limit and B % bb == 0:
             return bb
     return 0
 
