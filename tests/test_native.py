@@ -64,6 +64,13 @@ def test_native_faster_than_python(tok):
     texts = [" ".join(rng.choice(words, size=60)) for _ in range(2000)]
     tok.encode_batch(texts[:10], 64)  # warm both paths
 
-    t0 = time.time(); tok.encode_batch(texts, 64, native=True); t_nat = time.time() - t0
-    t0 = time.time(); tok.encode_batch(texts, 64, native=False); t_py = time.time() - t0
+    def best_of(native):
+        times = []
+        for _ in range(3):  # min-of-3: robust to transient machine load
+            t0 = time.time()
+            tok.encode_batch(texts, 64, native=native)
+            times.append(time.time() - t0)
+        return min(times)
+
+    t_nat, t_py = best_of(True), best_of(False)
     assert t_nat < t_py, f"native {t_nat:.3f}s not faster than python {t_py:.3f}s"
