@@ -222,3 +222,20 @@ def test_simple_hybrid(artifacts_dir):
     assert len(results) == 2
     assert results[0][0] == docs[1]  # exact keyword+topic match wins
     assert results[0][1] >= results[1][1]
+
+
+def test_ivf_index_through_retrieval_index(rng):
+    from twotowermlretrieval_tpu.serve.index import RetrievalIndex
+
+    docs = rng.standard_normal((600, 64)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    exact = RetrievalIndex(docs, storage_dtype="float32", use_pallas=False)
+    ivf = RetrievalIndex(
+        docs, storage_dtype="float32", use_pallas=False,
+        index_type="ivf", num_clusters=8, nprobe=8,  # full probe == exact
+    )
+    q = docs[:4] + 0.01 * rng.standard_normal((4, 64)).astype(np.float32)
+    ev, ei = exact.search(q, k=5)
+    av, ai = ivf.search(q, k=5)
+    np.testing.assert_allclose(av, ev, rtol=1e-4, atol=1e-5)
+    assert (ai == ei).mean() > 0.9

@@ -41,6 +41,9 @@ class RetrievalIndex:
         mesh=None,
         use_pallas: Optional[bool] = None,
         interpret: bool = False,
+        index_type: str = "exact",  # 'exact' | 'ivf' (approximate, >1M docs)
+        nprobe: int = 16,
+        num_clusters: int = 0,  # ivf only; 0 = sqrt(N) heuristic
     ):
         self.num_docs = int(doc_embeddings.shape[0])
         self.dim = int(doc_embeddings.shape[1])
@@ -49,6 +52,21 @@ class RetrievalIndex:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # 'ivf': approximate index for beyond-1M-doc corpora (ops/ivf.py)
+        self.ivf = None
+        if index_type == "ivf":
+            if mesh is not None or storage_dtype == "int8":
+                raise NotImplementedError("ivf composes with local f32/bf16 storage only")
+            from twotowermlretrieval_tpu.ops.ivf import build_ivf
+
+            self.ivf = build_ivf(
+                np.asarray(doc_embeddings, np.float32),
+                num_clusters=num_clusters, storage_dtype=storage_dtype,
+            )
+            self.nprobe = nprobe
+            self.quantized = False
+            self._n_valid = self.num_docs
+            return
         # 'int8' row-quantizes the corpus (ops.topk.quantize_rows): 2x less
         # HBM + scan traffic than bf16 at ~0.97 top-50 recall vs f32.
         self.quantized = storage_dtype == "int8"
@@ -85,6 +103,11 @@ class RetrievalIndex:
         pad = (-B) % _SUBLANE
         if pad:
             q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)], axis=0)
+        if self.ivf is not None:
+            from twotowermlretrieval_tpu.ops.ivf import ivf_search
+
+            vals, ids = ivf_search(jnp.asarray(q), self.ivf, k=k, nprobe=self.nprobe)
+            return np.asarray(vals)[:B], np.asarray(ids)[:B]
         if self.quantized:
             qj = jnp.asarray(q)
             if self.mesh is not None:
