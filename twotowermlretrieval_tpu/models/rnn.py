@@ -213,7 +213,7 @@ def _batched_matmul(a: jax.Array, b: jax.Array, cdt) -> jax.Array:
     )
 
 
-def _use_fused_cell(xp0, w_hh) -> bool:
+def _use_fused_cell(xp0, w_hh, compute_dtype) -> bool:
     """True when the Pallas fused time-loop kernels (ops/rnn_scan.py) apply:
     TPU backend and TPU-tile-aligned shapes (H % 128, B % 16)."""
     if os.environ.get("TTMR_DISABLE_FUSED_RNN"):
@@ -221,8 +221,9 @@ def _use_fused_cell(xp0, w_hh) -> bool:
     from twotowermlretrieval_tpu.ops.rnn_scan import pick_b_block
 
     T, B, GH = xp0.shape
-    H = w_hh.shape[1]
-    if H % 128 != 0 or not pick_b_block(B):
+    D, H = w_hh.shape[0], w_hh.shape[1]
+    cdt_bytes = jnp.dtype(compute_dtype).itemsize
+    if H % 128 != 0 or not pick_b_block(B, H, GH, D, cdt_bytes):
         return False
     try:
         return jax.devices()[0].platform == "tpu"
@@ -273,7 +274,7 @@ def _scan_layer(
 
 
 def _scan_layer_fwd_impl(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
-    if _use_fused_cell(xps[0], w_hh):
+    if _use_fused_cell(xps[0], w_hh, compute_dtype):
         from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_fwd
 
         outs, c_hist, h_final = rnn_layer_fwd(
@@ -324,7 +325,7 @@ def _scan_layer_fwd(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
 def _scan_layer_bwd(rnn_type, compute_dtype, residuals, cotangents):
     xps, mask2, w_hh, b_hh, outs, c_hist = residuals
     douts, d_hfinal = cotangents
-    if _use_fused_cell(xps[0], w_hh):
+    if _use_fused_cell(xps[0], w_hh, compute_dtype):
         from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_bwd
 
         dxps, dw_hh, db_hh = rnn_layer_bwd(

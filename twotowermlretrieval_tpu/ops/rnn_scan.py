@@ -93,19 +93,36 @@ def _bwd_prev_tmap(d: int, T: int):
     return lambda b, j: (jnp.minimum(j + 1, T - 1), b, 0)
 
 
-def pick_b_block(B: int, limit: int = 256) -> int:
+_VMEM_BUDGET = 16 << 20  # calibrated against measured pass/fail shapes
+
+
+def _bwd_vmem_bytes(BB: int, H: int, GH: int, D: int, cdt_bytes: int) -> int:
+    """Rough VMEM footprint of the backward kernel at row-block BB: resident
+    weights + gradient scratch + double-buffered per-step blocks. Calibrated
+    empirically (H=256/BB<=256 and H=512/BB=64 compile and run; H=1024 and
+    H=256 at 512 unblocked rows OOM the scoped limit)."""
+    weights = 2 * D * H * GH * cdt_bytes  # w_hh + w_hh^T
+    grads = D * H * GH * 4 + D * GH * 4  # dw/db scratch
+    blocks = 2 * D * BB * (2 * GH * cdt_bytes + 3 * H * 4)  # xp, dxp, h/dout/c views
+    scratch = 2 * D * BB * H * 4  # dh (+ dc)
+    return weights + grads + blocks + scratch
+
+
+def pick_b_block(B: int, H: int = 256, GH: int = 768, D: int = 2, cdt_bytes: int = 2) -> int:
     """Row-block size for the (B_blocks, T) grid, or 0 when no valid block
     exists (callers fall back to the XLA scan).
 
-    Constraints: <= limit rows (VMEM budget: ~512 kernel rows OOM the 16MB
-    scoped limit at H=256); divides B; and — because the mask view's block
-    puts rows in the LANE dimension — either a multiple of 128 or equal to
-    the full B (Mosaic requires last-dim blocks of 128k or the whole axis).
+    Constraints: divides B; fits the scoped-VMEM budget (estimated for the
+    heavier backward kernel); and — because the mask view's block puts rows
+    in the LANE dimension — either a multiple of 128 or equal to the full
+    B (Mosaic requires last-dim blocks of 128k or the whole axis).
     """
-    if B <= limit and B % 16 == 0:
-        return B  # single block: every view's block equals the full dim
-    for bb in (256, 128):
-        if bb <= limit and B % bb == 0:
+    candidates = []
+    if B % 16 == 0 and B <= 256:
+        candidates.append(B)  # single block: every view equals the full dim
+    candidates += [bb for bb in (256, 128) if B % bb == 0]
+    for bb in candidates:
+        if _bwd_vmem_bytes(bb, H, GH, D, cdt_bytes) <= _VMEM_BUDGET:
             return bb
     return 0
 
@@ -203,7 +220,7 @@ def rnn_layer_fwd(
     lstm = cell == "LSTM"
     mask3 = mask[:, None, :]  # [T, 1, B] so blocks are (1, 1, B)
 
-    BB = b_block or pick_b_block(B)
+    BB = b_block or pick_b_block(B, H, GH, D, cdt.itemsize)
     if not BB or B % BB:
         raise ValueError(f"no valid B block for B={B}; caller should fall back")
     nb = B // BB
@@ -392,7 +409,7 @@ def rnn_layer_bwd(
     rnn = cell == "RNN"
     mask3 = mask[:, None, :]
 
-    BB = b_block or pick_b_block(B)
+    BB = b_block or pick_b_block(B, H, GH, D, cdt.itemsize)
     if not BB or B % BB:
         raise ValueError(f"no valid B block for B={B}; caller should fall back")
     nb = B // BB
