@@ -239,3 +239,31 @@ def test_ivf_index_through_retrieval_index(rng):
     av, ai = ivf.search(q, k=5)
     np.testing.assert_allclose(av, ev, rtol=1e-4, atol=1e-5)
     assert (ai == ei).mean() > 0.9
+
+
+def test_micro_batched_engine_matches_serial(artifacts_dir):
+    """Concurrent searches through the micro-batcher must return exactly
+    what the serial path returns."""
+    import threading
+
+    from twotowermlretrieval_tpu.serve.engine import SearchEngine
+
+    serial = SearchEngine(artifacts_dir, use_pallas=False)
+    batched = SearchEngine(artifacts_dir, use_pallas=False, batch_window_ms=20.0)
+    queries = [f"t{i % 4}w1 t{i % 4}w2" for i in range(8)]
+    expected = [serial.search(q, alpha=0.7) for q in queries]
+
+    results = [None] * len(queries)
+    def worker(i):
+        results[i] = batched.search(queries[i], alpha=0.7)
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(queries))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for got, want in zip(results, expected):
+        assert [r["doc"] for r in got["results"]] == [r["doc"] for r in want["results"]]
+        got_scores = [r["score"] for r in got["results"]]
+        want_scores = [r["score"] for r in want["results"]]
+        np.testing.assert_allclose(got_scores, want_scores, rtol=1e-5, atol=1e-6)

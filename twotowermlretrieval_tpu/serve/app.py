@@ -110,8 +110,14 @@ def main():
     parser.add_argument("--artifacts", "-a", required=True)
     parser.add_argument("--port", "-p", type=int, default=8888)
     parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--batch-window-ms", type=float, default=0.0,
+                        help="coalesce concurrent requests into one device "
+                             "batch, waiting up to this long (0 = off)")
     args = parser.parse_args()
-    serve(args.artifacts, port=args.port, host=args.host).serve_forever()
+    serve(
+        args.artifacts, port=args.port, host=args.host,
+        batch_window_ms=args.batch_window_ms,
+    ).serve_forever()
 
 
 if __name__ == "__main__":

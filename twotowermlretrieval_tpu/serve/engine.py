@@ -20,9 +20,10 @@ uses it — frontend/main.py:69-70 vs 170-171). Same values, less host work.
 
 from __future__ import annotations
 
+import threading
 import time
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -30,6 +31,50 @@ from twotowermlretrieval_tpu.ops.tfidf import cosine_similarity, hybrid_blend
 from twotowermlretrieval_tpu.serve.index import RetrievalIndex
 from twotowermlretrieval_tpu.serve.inferencer import QueryInferencer
 from twotowermlretrieval_tpu.train.artifacts import load_artifacts
+
+
+class _MicroBatcher:
+    """Coalesce concurrent calls into one device batch (leader pattern).
+
+    The first caller to arrive becomes the leader: it waits ``window_ms``
+    collecting followers, snapshots the queue, runs ``fn`` once over the
+    whole batch and distributes results. A caller arriving after the
+    snapshot finds an empty queue and becomes the next leader — no request
+    is ever dropped. One extra ``window_ms`` of latency buys one device
+    dispatch per batch instead of per request.
+    """
+
+    def __init__(self, fn, window_ms: float = 2.0, max_wait_s: float = 30.0):
+        self._fn = fn
+        self._window = window_ms / 1000.0
+        self._max_wait = max_wait_s
+        self._lock = threading.Lock()
+        self._items: list = []
+
+    def submit(self, request):
+        event = threading.Event()
+        slot: Dict = {}
+        with self._lock:
+            self._items.append((request, event, slot))
+            is_leader = len(self._items) == 1
+        if is_leader:
+            time.sleep(self._window)
+            with self._lock:
+                batch, self._items = self._items, []
+            try:
+                results = self._fn([b[0] for b in batch])
+                for (_, ev, sl), r in zip(batch, results):
+                    sl["result"] = r
+                    ev.set()
+            except Exception as e:  # propagate to every waiter
+                for _, ev, sl in batch:
+                    sl["error"] = e
+                    ev.set()
+        if not event.wait(self._max_wait):
+            raise TimeoutError("micro-batch leader did not complete in time")
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
 
 
 class SearchEngine:
@@ -40,6 +85,7 @@ class SearchEngine:
         storage_dtype: str = "bfloat16",
         use_pallas: Optional[bool] = None,
         interpret: bool = False,
+        batch_window_ms: float = 0.0,  # >0 enables request micro-batching
     ):
         loaded = load_artifacts(artifacts_path, require_index=True)
         self.config = loaded.config
@@ -54,6 +100,29 @@ class SearchEngine:
             use_pallas=use_pallas,
             interpret=interpret,
         )
+        self._batcher = (
+            _MicroBatcher(self._dense_batch, window_ms=batch_window_ms)
+            if batch_window_ms > 0
+            else None
+        )
+
+    def _dense_batch(self, requests: Sequence[Dict]):
+        """One batched encode + index search for many concurrent requests;
+        each request dict carries {'query', 'fanout'}."""
+        fanout = max(r["fanout"] for r in requests)
+        embs = self.inferencer.get_query_embeddings([r["query"] for r in requests])
+        scores, ids = self.index.search(embs, k=fanout)
+        return [
+            (scores[i, : r["fanout"]], ids[i, : r["fanout"]])
+            for i, r in enumerate(requests)
+        ]
+
+    def _dense_search(self, query: str, fanout: int):
+        if self._batcher is not None:
+            return self._batcher.submit({"query": query, "fanout": fanout})
+        query_emb = self.inferencer.get_query_embedding(query)
+        dense_scores, doc_ids = self.index.search(query_emb[None, :], k=fanout)
+        return dense_scores[0], doc_ids[0]
 
     # ------------------------------------------------------------------
     def search(
@@ -104,9 +173,7 @@ class SearchEngine:
 
     def _hybrid_search(self, query: str, alpha: float, top_k: int, fanout: int) -> List[Dict]:
         """Dense top-fanout + TF-IDF re-rank (ref: frontend/main.py:149-198)."""
-        query_emb = self.inferencer.get_query_embedding(query)
-        dense_scores, doc_ids = self.index.search(query_emb[None, :], k=fanout)
-        dense_scores, doc_ids = dense_scores[0], doc_ids[0]
+        dense_scores, doc_ids = self._dense_search(query, fanout)
 
         query_tfidf = self.tfidf_vectorizer.transform([query])
         if query_tfidf.nnz > 0:
