@@ -190,27 +190,33 @@ def bench_retrieval():
     q = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
     jax.block_until_ready((docs_bf, d_i8))
 
-    def chain_time(fn, M):
-        @jax.jit
-        def f(q):
-            def body(acc, _):
-                v, _ = fn(q + acc * 1e-30)
-                return acc * 0.5 + jnp.sum(v) * 1e-20, None
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=M)
-            return acc
-        float(f(q))
-        t0 = time.time(); float(f(q)); return time.time() - t0
+    import functools
 
-    for name, fn in (
-        ("bf16", lambda q: fused_topk(q.astype(jnp.bfloat16), docs_bf, k=K, tile_n=8192)),
-        ("int8", lambda q: fused_topk_int8(q, d_i8, d_s, k=K, tile_n=8192)),
-    ):
+    # jits hoisted and parameterized (M static, corpus as ARGUMENTS): a
+    # fresh closure per call would recompile each time and bake the 256MB
+    # corpus into the program as a constant
+    @functools.partial(jax.jit, static_argnames=("M", "mode"))
+    def chain(q, docs_bf, d_i8, d_s, M, mode):
+        def body(acc, _):
+            if mode == "bf16":
+                v, _ = fused_topk((q + acc * 1e-30).astype(jnp.bfloat16), docs_bf, k=K, tile_n=8192)
+            else:
+                v, _ = fused_topk_int8(q + acc * 1e-30, d_i8, d_s, k=K, tile_n=8192)
+            return acc * 0.5 + jnp.sum(v) * 1e-20, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=M)
+        return acc
+
+    def chain_time(M, mode):
+        float(chain(q, docs_bf, d_i8, d_s, M, mode))
+        t0 = time.time(); float(chain(q, docs_bf, d_i8, d_s, M, mode)); return time.time() - t0
+
+    for mode in ("bf16", "int8"):
         # repeat the short run and take its minimum: through the remote
         # relay a single reference measurement is noisy enough to make the
         # difference go negative
-        base = min(chain_time(fn, 1) for _ in range(3))
-        t = max(chain_time(fn, 41) - base, 0.0) / 40
-        log(f"retrieval {name}: {t*1e3:.2f} ms for {B} queries x top-{K} over 1M x {H} docs")
+        base = min(chain_time(1, mode) for _ in range(3))
+        t = max(chain_time(41, mode) - base, 0.0) / 40
+        log(f"retrieval {mode}: {t*1e3:.2f} ms for {B} queries x top-{K} over 1M x {H} docs")
 
 
 def main():

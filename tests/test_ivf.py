@@ -27,10 +27,10 @@ def test_build_invariants(corpus):
     ids = np.asarray(index.ids)
     real = ids[ids >= 0]
     assert len(real) == len(docs) and len(set(real.tolist())) == len(docs)  # a partition
-    # blocks: >= num_clusters (skewed clusters split into shared-centroid
-    # blocks), same leading dim for centroids/docs/ids
+    # blocks: skewed clusters split into shared-centroid blocks, empty
+    # clusters contribute none; same leading dim for centroids/docs/ids
     n_blocks = index.docs.shape[0]
-    assert n_blocks >= 64
+    assert n_blocks >= 1
     assert index.docs.shape == (n_blocks, index.cap, 64)
     assert index.centroids.shape == (n_blocks, 64)
     assert index.ids.shape == (n_blocks, index.cap)

@@ -349,3 +349,30 @@ def test_distributed_topk_int8_matches_local():
     lv, li = topk_segmented_int8(jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales), k=10)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(lv), rtol=1e-5, atol=1e-5)
     assert (np.asarray(di) == np.asarray(li)).mean() > 0.95  # ties may reorder
+
+
+def test_distributed_topk_padding_never_displaces_real_docs():
+    """Zero-padding rows score 0.0; with all-negative similarities they
+    must not consume local top-k slots (regression: mask must act inside
+    the per-shard scan, not after it)."""
+    from twotowermlretrieval_tpu.ops.topk import topk_oracle
+    from twotowermlretrieval_tpu.parallel.mesh import make_mesh
+    from twotowermlretrieval_tpu.parallel.topk import distributed_topk, shard_corpus
+
+    rng = np.random.default_rng(0)
+    mesh = make_mesh(data=8, model=1)
+    # 1003 docs -> 5 zero-pad rows in the tail shard; queries anti-aligned
+    # so every real similarity is negative
+    base = rng.standard_normal((1003, 64)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    q = -np.abs(rng.standard_normal((8, 64))).astype(np.float32)
+    docs = np.abs(base)  # all-positive docs => strictly negative scores
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    docs_sharded, n_valid = shard_corpus(docs, mesh)
+    dv, di = distributed_topk(
+        jnp.asarray(q), docs_sharded, k=10, mesh=mesh,
+        n_valid=n_valid, use_pallas=False,
+    )
+    ev, ei = topk_oracle(jnp.asarray(q), jnp.asarray(docs), 10)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(ev), rtol=1e-5, atol=1e-6)
+    assert (np.asarray(di) == np.asarray(ei)).mean() > 0.95

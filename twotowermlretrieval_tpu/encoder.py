@@ -55,12 +55,15 @@ class TextEncoder:
         self.corpus_batch_size = max(batch_size, 1024)
 
     def _run(self, texts: Sequence[str], fn, max_len: int) -> np.ndarray:
-        # batch: large for corpora, small for single-query serving calls;
-        # rounded so the fused kernels' row-block constraint holds (multiple
-        # of 16 up to 256 rows, multiple of 128 above)
-        bs = min(self.corpus_batch_size, max(16, -(-len(texts) // 16) * 16))
-        if bs > 256:
-            bs = min(self.corpus_batch_size, -(-len(texts) // 128) * 128)
+        # batch from a FIXED bucket set {16, 128, corpus_batch_size}: a
+        # len(texts)-derived size would compile a fresh executable per
+        # request count (6-60s each through a remote relay)
+        if len(texts) <= 16:
+            bs = 16
+        elif len(texts) <= 128:
+            bs = 128
+        else:
+            bs = self.corpus_batch_size
         # Dispatch batches asynchronously, keep results on device, and
         # fetch in large concatenated chunks: host round-trips cost ~tens
         # of ms on remote-attached TPUs, so per-batch np.asarray fetches

@@ -84,13 +84,13 @@ def _assign_chunk(chunk, centroids):
     )
 
 
-def _kmeans(docs: jax.Array, num_clusters: int, iters: int, seed: int) -> jax.Array:
-    """Spherical k-means; returns unit-norm centroids [C, H] f32."""
-    N, H = docs.shape
+def _kmeans(chunked: jax.Array, num_clusters: int, iters: int, seed: int) -> jax.Array:
+    """Spherical k-means over pre-chunked [nc, chunk, H] docs; returns
+    unit-norm centroids [C, H] f32."""
+    flat = chunked.reshape(-1, chunked.shape[-1])
     key = jax.random.key(seed)
-    init_idx = jax.random.choice(key, N, (num_clusters,), replace=False)
-    centroids = docs[init_idx]
-    chunked = _pad_to_chunks(docs)
+    init_idx = jax.random.choice(key, flat.shape[0], (num_clusters,), replace=False)
+    centroids = flat[init_idx]
     for _ in range(iters):
         centroids = _lloyd_step(chunked, centroids, num_clusters)
     return centroids
@@ -110,9 +110,8 @@ def build_ivf(
         num_clusters = max(8, int(round(np.sqrt(N) / 8)) * 8)
     num_clusters = min(num_clusters, N)
 
-    docs_dev = jnp.asarray(x)
-    centroids = _kmeans(docs_dev, num_clusters, iters, seed)
-    chunked = _pad_to_chunks(docs_dev)
+    chunked = _pad_to_chunks(jnp.asarray(x))  # chunk ONCE for kmeans + assignment
+    centroids = _kmeans(chunked, num_clusters, iters, seed)
     assign = np.concatenate(
         [np.asarray(_assign_chunk(c, centroids)) for c in chunked]
     )[:N]
@@ -126,7 +125,9 @@ def build_ivf(
     # several of the top-nprobe slots.
     mean = max(int(counts[counts > 0].mean()) if (counts > 0).any() else 128, 1)
     cap = max(128, int(-(-mean // 128) * 128))
-    blocks_per_cluster = np.maximum(1, -(-counts // cap))
+    # empty clusters contribute ZERO blocks (their stale centroids would
+    # otherwise waste probe slots on all-padding gathers)
+    blocks_per_cluster = -(-counts // cap)
     n_blocks = int(blocks_per_cluster.sum())
     block_of_cluster_start = np.concatenate([[0], np.cumsum(blocks_per_cluster)[:-1]])
 
@@ -180,6 +181,10 @@ def ivf_search(
     flat_ids = block_ids.reshape(B, -1)
     scores = jnp.where(flat_ids >= 0, scores, jnp.float32(-3.0e38))
 
-    vals, pos = jax.lax.top_k(scores, k)
+    k_eff = min(k, scores.shape[1])
+    vals, pos = jax.lax.top_k(scores, k_eff)
     out_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+    if k_eff < k:  # fewer probed columns than k: pad to the promised shape
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=-3.0e38)
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
     return vals, jnp.where(vals <= -3.0e38, -1, out_ids)

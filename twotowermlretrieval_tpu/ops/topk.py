@@ -179,6 +179,7 @@ def fused_topk(
     k: int = 50,
     tile_n: int = 2048,
     interpret: bool = False,
+    n_valid=None,  # true corpus size when docs already carries padding rows
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused score+top-k. Returns (values [B, k], ids [B, k]),
     sorted descending; ids are row indices into ``docs``. Exactness contract:
@@ -203,7 +204,7 @@ def fused_topk(
         jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     )
 
-    n_valid = jnp.asarray([N], jnp.int32)
+    n_valid = jnp.asarray([N if n_valid is None else n_valid], jnp.int32).reshape(1)
     kernel = functools.partial(_fused_topk_kernel, k=k, tile_n=tile_n, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -243,41 +244,21 @@ def fused_topk(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "segment"))
-def topk_segmented(
-    queries: jax.Array,  # [B, H]
-    docs: jax.Array,  # [N, H]
-    k: int = 50,
-    segment: int = 128,
-) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k via the segment-max covering argument, in plain XLA.
+def _mask_invalid(scores: jax.Array, n_valid) -> jax.Array:
+    """NEG_INF out score columns >= n_valid (zero-padded corpus rows)."""
+    if n_valid is None:
+        return scores
+    cols = jnp.arange(scores.shape[1])[None, :]
+    return jnp.where(cols < n_valid, scores, NEG_INF)
 
-    Partition the corpus into fixed segments; the segment holding the true
-    i-th value has segment-max >= v_i, and fewer than i other segments can
-    have a larger max — so the top-k segments (by max) always cover the true
-    top-k elements. Phase 1: one [B, N] matmul + segment-max + a small
-    ``lax.top_k`` over [B, N/segment]. Phase 2: gather the k winning
-    segments' scores per row ([B, k*segment]) and ``lax.top_k`` again.
 
-    This materializes the [B, N] scores in HBM (unlike :func:`fused_topk`)
-    but replaces XLA's full-row sort with two tiny ones — typically the
-    fastest exact path when the score matrix fits.
-    """
-    B, H = queries.shape
-    N = docs.shape[0]
-    if k > N:
-        raise ValueError(f"k={k} larger than corpus N={N}")
-    n_pad = (-N) % segment
-    compute_dtype = docs.dtype
-    precision = (
-        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    )
-    scores = jax.lax.dot_general(
-        queries.astype(compute_dtype), docs,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # [B, N]
+def _segmented_topk_from_scores(scores: jax.Array, k: int, segment: int):
+    """Segment-max covering top-k over a dense [B, N] score matrix: the
+    segment holding the true i-th value has segment-max >= v_i, and fewer
+    than i other segments can have a larger max — so the top-k segments
+    (by max) always cover the true top-k elements."""
+    B = scores.shape[0]
+    n_pad = (-scores.shape[1]) % segment
     if n_pad:
         scores = jnp.pad(scores, ((0, 0), (0, n_pad)), constant_values=NEG_INF)
     S = scores.shape[1] // segment
@@ -296,6 +277,40 @@ def topk_segmented(
     # padding never wins (scores NEG_INF), but guard ids anyway
     ids = jnp.where(vals <= NEG_INF, -1, ids)
     return vals, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "segment"))
+def topk_segmented(
+    queries: jax.Array,  # [B, H]
+    docs: jax.Array,  # [N, H]
+    k: int = 50,
+    segment: int = 128,
+    n_valid=None,  # true corpus size when docs carries zero-padding rows
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k via the segment-max covering argument, in plain XLA.
+
+    Phase 1: one [B, N] matmul + segment-max + a small ``lax.top_k`` over
+    [B, N/segment]. Phase 2: gather the k winning segments' scores per row
+    ([B, k*segment]) and ``lax.top_k`` again. This materializes the [B, N]
+    scores in HBM (unlike :func:`fused_topk`) but replaces XLA's full-row
+    sort with two tiny ones — typically the fastest exact path when the
+    score matrix fits.
+    """
+    B, H = queries.shape
+    N = docs.shape[0]
+    if k > N:
+        raise ValueError(f"k={k} larger than corpus N={N}")
+    compute_dtype = docs.dtype
+    precision = (
+        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    scores = jax.lax.dot_general(
+        queries.astype(compute_dtype), docs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [B, N]
+    return _segmented_topk_from_scores(_mask_invalid(scores, n_valid), k, segment)
 
 
 # ---------------------------------------------------------------------------
@@ -392,6 +407,7 @@ def fused_topk_int8(
     k: int = 50,
     tile_n: int = 4096,
     interpret: bool = False,
+    n_valid=None,  # true corpus size when docs already carries padding rows
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused score+top-k over an int8 row-quantized corpus.
 
@@ -415,7 +431,7 @@ def fused_topk_int8(
         doc_scales = jnp.concatenate([doc_scales, jnp.zeros((n_pad,), doc_scales.dtype)])
     num_tiles = doc_values.shape[0] // tile_n
 
-    n_valid = jnp.asarray([N], jnp.int32)
+    n_valid = jnp.asarray([N if n_valid is None else n_valid], jnp.int32).reshape(1)
     kernel = functools.partial(_fused_topk_int8_kernel, k=k, tile_n=tile_n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -458,32 +474,16 @@ def topk_segmented_int8(
     doc_scales: jax.Array,  # [N] f32
     k: int = 50,
     segment: int = 128,
+    n_valid=None,  # true corpus size when docs carries zero-padding rows
 ) -> Tuple[jax.Array, jax.Array]:
     """XLA fallback for the int8 index: score with post-matmul scaling,
     then the segment-max covering top-k."""
-    scores_docs = doc_values.astype(jnp.bfloat16)
-    scaled = lambda s: s * doc_scales[None, :]
-    B, H = queries.shape
     N = doc_values.shape[0]
     if k > N:
         raise ValueError(f"k={k} larger than corpus N={N}")
     scores = jax.lax.dot_general(
-        queries.astype(jnp.bfloat16), scores_docs,
+        queries.astype(jnp.bfloat16), doc_values.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    scores = scaled(scores)
-    n_pad = (-N) % segment
-    if n_pad:
-        scores = jnp.pad(scores, ((0, 0), (0, n_pad)), constant_values=NEG_INF)
-    S = scores.shape[1] // segment
-    seg_scores = scores.reshape(B, S, segment)
-    seg_max = jnp.max(seg_scores, axis=-1)
-    k_seg = min(k, S)
-    _, seg_idx = jax.lax.top_k(seg_max, k_seg)
-    cand = jnp.take_along_axis(seg_scores, seg_idx[..., None], axis=1)
-    cand_ids = seg_idx[..., None] * segment + jnp.arange(segment)[None, None, :]
-    vals, loc = jax.lax.top_k(cand.reshape(B, -1), k)
-    ids = jnp.take_along_axis(cand_ids.reshape(B, -1), loc, axis=1).astype(jnp.int32)
-    ids = jnp.where(vals <= NEG_INF, -1, ids)
-    return vals, ids
+    ) * doc_scales[None, :]
+    return _segmented_topk_from_scores(_mask_invalid(scores, n_valid), k, segment)

@@ -29,10 +29,23 @@ from twotowermlretrieval_tpu.ops.topk import (
 from twotowermlretrieval_tpu.parallel.mesh import DATA_AXIS
 
 
-def _local_topk(queries, docs_shard, k, use_pallas, interpret):
-    if use_pallas:
-        return fused_topk(queries, docs_shard, k=k, interpret=interpret)
-    return topk_segmented(queries, docs_shard, k=k)
+def _merge_across_shards(local_fn, queries, k, n_valid, shard_rows):
+    """Run a per-shard local top-k and merge candidates across the 'data'
+    axis. ``local_fn(queries, local_valid) -> (vals, ids)`` must mask its
+    shard's zero-padding rows DURING the scan (via the kernels' n_valid),
+    not after — a padding row scoring 0.0 would otherwise displace a real
+    negative-scoring doc from the local k and lose it from the merge."""
+    shard = jax.lax.axis_index(DATA_AXIS)
+    # rows valid in THIS shard (the tail shard holds the zero padding)
+    local_valid = jnp.clip(n_valid - shard * shard_rows, 0, shard_rows)
+    vals, ids = local_fn(queries, local_valid)
+    ids = jnp.where(ids >= 0, ids + shard * shard_rows, ids)  # global ids
+    # gather per-shard candidates: [D*k] per row
+    all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)  # [B, D*k]
+    all_ids = jax.lax.all_gather(ids, DATA_AXIS, axis=1, tiled=True)
+    merged_vals, pos = jax.lax.top_k(all_vals, k)
+    merged_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+    return merged_vals, merged_ids
 
 
 def distributed_topk(
@@ -46,9 +59,7 @@ def distributed_topk(
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over the sharded corpus. Returns replicated
     ([B, k] values, [B, k] global ids). ``n_valid`` is the true corpus size
-    when the sharded array carries zero-padding rows (shard_corpus); padded
-    rows are masked out before the merge (a zero embedding scores 0.0,
-    which would otherwise beat real negative similarities)."""
+    when the sharded array carries zero-padding rows (shard_corpus)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     num_shards = mesh.shape[DATA_AXIS]
@@ -57,15 +68,12 @@ def distributed_topk(
         n_valid = docs_sharded.shape[0]
 
     def local(queries, docs_shard):
-        vals, ids = _local_topk(queries, docs_shard, k, use_pallas, interpret)
-        ids = ids + jax.lax.axis_index(DATA_AXIS) * shard_rows  # global ids
-        vals = jnp.where(ids < n_valid, vals, jnp.float32(-3.0e38))
-        # gather per-shard candidates: [D*k] per row
-        all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)  # [B, D*k]
-        all_ids = jax.lax.all_gather(ids, DATA_AXIS, axis=1, tiled=True)
-        merged_vals, pos = jax.lax.top_k(all_vals, k)
-        merged_ids = jnp.take_along_axis(all_ids, pos, axis=1)
-        return merged_vals, merged_ids
+        def local_fn(q, local_valid):
+            if use_pallas:
+                return fused_topk(q, docs_shard, k=k, interpret=interpret, n_valid=local_valid)
+            return topk_segmented(q, docs_shard, k=k, n_valid=local_valid)
+
+        return _merge_across_shards(local_fn, queries, k, n_valid, shard_rows)
 
     mapped = jax.shard_map(
         local,
@@ -75,24 +83,6 @@ def distributed_topk(
         check_vma=False,
     )
     return jax.jit(mapped, static_argnums=())(queries, docs_sharded)
-
-
-def shard_corpus(doc_embeddings, mesh: Mesh):
-    """Place [N, H] corpus row-sharded over 'data', zero-padding N to a
-    multiple of the shard count. Returns (sharded array, true N) — pass the
-    true N to distributed_topk(n_valid=...) so padding rows are masked."""
-    import numpy as np
-
-    num = mesh.shape[DATA_AXIS]
-    N, H = doc_embeddings.shape
-    pad = (-N) % num
-    if pad:
-        doc_embeddings = np.concatenate(
-            [doc_embeddings, np.zeros((pad, H), doc_embeddings.dtype)], axis=0
-        )
-    return jax.device_put(
-        jnp.asarray(doc_embeddings), NamedSharding(mesh, P(DATA_AXIS, None))
-    ), N
 
 
 def distributed_topk_int8(
@@ -116,19 +106,17 @@ def distributed_topk_int8(
         n_valid = doc_values.shape[0]
 
     def local(queries, values_shard, scales_shard):
-        if use_pallas:
-            vals, ids = fused_topk_int8(
-                queries, values_shard, scales_shard, k=k, interpret=interpret
+        def local_fn(q, local_valid):
+            if use_pallas:
+                return fused_topk_int8(
+                    q, values_shard, scales_shard, k=k,
+                    interpret=interpret, n_valid=local_valid,
+                )
+            return topk_segmented_int8(
+                q, values_shard, scales_shard, k=k, n_valid=local_valid
             )
-        else:
-            vals, ids = topk_segmented_int8(queries, values_shard, scales_shard, k=k)
-        ids = ids + jax.lax.axis_index(DATA_AXIS) * shard_rows  # global ids
-        vals = jnp.where(ids < n_valid, vals, jnp.float32(-3.0e38))
-        all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
-        all_ids = jax.lax.all_gather(ids, DATA_AXIS, axis=1, tiled=True)
-        merged_vals, pos = jax.lax.top_k(all_vals, k)
-        merged_ids = jnp.take_along_axis(all_ids, pos, axis=1)
-        return merged_vals, merged_ids
+
+        return _merge_across_shards(local_fn, queries, k, n_valid, shard_rows)
 
     mapped = jax.shard_map(
         local,
@@ -138,6 +126,24 @@ def distributed_topk_int8(
         check_vma=False,
     )
     return jax.jit(mapped, static_argnums=())(queries, doc_values, doc_scales)
+
+
+def shard_corpus(doc_embeddings, mesh: Mesh):
+    """Place [N, H] corpus row-sharded over 'data', zero-padding N to a
+    multiple of the shard count. Returns (sharded array, true N) — pass the
+    true N to distributed_topk(n_valid=...) so padding rows are masked."""
+    import numpy as np
+
+    num = mesh.shape[DATA_AXIS]
+    N, H = doc_embeddings.shape
+    pad = (-N) % num
+    if pad:
+        doc_embeddings = np.concatenate(
+            [doc_embeddings, np.zeros((pad, H), doc_embeddings.dtype)], axis=0
+        )
+    return jax.device_put(
+        jnp.asarray(doc_embeddings), NamedSharding(mesh, P(DATA_AXIS, None))
+    ), N
 
 
 def shard_corpus_int8(doc_embeddings, mesh: Mesh):

@@ -66,10 +66,12 @@ class _MicroBatcher:
                 for (_, ev, sl), r in zip(batch, results):
                     sl["result"] = r
                     ev.set()
-            except Exception as e:  # propagate to every waiter
+            except BaseException as e:  # noqa: BLE001 — followers must never hang
                 for _, ev, sl in batch:
                     sl["error"] = e
                     ev.set()
+                if not isinstance(e, Exception):
+                    raise  # re-raise KeyboardInterrupt/SystemExit in the leader
         if not event.wait(self._max_wait):
             raise TimeoutError("micro-batch leader did not complete in time")
         if "error" in slot:
