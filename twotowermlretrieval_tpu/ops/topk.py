@@ -177,7 +177,7 @@ def fused_topk(
     queries: jax.Array,  # [B, H]
     docs: jax.Array,  # [N, H] — any dtype; scored in its storage dtype
     k: int = 50,
-    tile_n: int = 2048,
+    tile_n: int = 8192,  # measured best on v5e at 1M x 128 (1.34ms vs 1.58 at 2048)
     interpret: bool = False,
     n_valid=None,  # true corpus size when docs already carries padding rows
 ) -> Tuple[jax.Array, jax.Array]:
@@ -405,7 +405,7 @@ def fused_topk_int8(
     doc_values: jax.Array,  # [N, H] int8
     doc_scales: jax.Array,  # [N] f32
     k: int = 50,
-    tile_n: int = 4096,
+    tile_n: int = 8192,
     interpret: bool = False,
     n_valid=None,  # true corpus size when docs already carries padding rows
 ) -> Tuple[jax.Array, jax.Array]:
