@@ -367,3 +367,24 @@ def test_scan_custom_vjp_matches_autodiff(rnn_type, n_dir):
     g2 = jax.grad(loss_autodiff, argnums=(0, 1, 2))(xps, w_hh, b_hh)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("num_layers", [1, 3, 6])
+def test_transformer_init_any_depth(num_layers):
+    """Regression: init crashed with StopIteration at >= 3 layers (PRNG key
+    over-consumption)."""
+    from twotowermlretrieval_tpu.models.transformer import (
+        TransformerSpec,
+        init_transformer_encoder,
+        transformer_encode,
+    )
+
+    spec = TransformerSpec(
+        vocab_size=50, embed_dim=16, hidden_dim=16, num_heads=2,
+        num_layers=num_layers, max_len=10, compute_dtype="float32",
+    )
+    params = init_transformer_encoder(jax.random.key(0), spec)
+    assert len(params["blocks"]) == num_layers
+    tokens, lengths = _batch(np.random.default_rng(0))
+    out = transformer_encode(params, tokens, lengths, spec)
+    assert out.shape == (4, 16) and bool(jnp.all(jnp.isfinite(out)))

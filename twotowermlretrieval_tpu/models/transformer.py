@@ -72,7 +72,7 @@ def init_transformer_encoder(
     spec: TransformerSpec,
     pretrained_embeddings: Optional[np.ndarray] = None,
 ) -> Dict[str, Any]:
-    keys = iter(jax.random.split(rng, 3 + spec.num_layers * 6))
+    keys = iter(jax.random.split(rng, 3 + spec.num_layers * 4))
     if pretrained_embeddings is not None:
         embedding = jnp.asarray(pretrained_embeddings, jnp.float32)
         next(keys)
@@ -97,8 +97,6 @@ def init_transformer_encoder(
                 "ffn_out": {"w": _dense_init(next(keys), (spec.ffn_dim, H)), "b": jnp.zeros((H,))},
             }
         )
-        for _ in range(4):
-            next(keys, None)
     params["blocks"] = tuple(blocks)
     params["ln_final"] = {"scale": jnp.ones((H,)), "bias": jnp.zeros((H,))}
     return params
