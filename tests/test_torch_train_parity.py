@@ -32,12 +32,14 @@ LR, MARGIN, STEPS = 1e-3, 0.5, 10
 class _TorchTower(nn.Module):
     """The reference encoder (ref: backend/model.py:8-75), weights injected."""
 
-    def __init__(self, params, table):
+    def __init__(self, params, table, rnn_type="GRU"):
         super().__init__()
+        self.rnn_type = rnn_type
         self.embedding = nn.Embedding(VOCAB, EMBED)
         self.embedding.weight.data.copy_(torch.from_numpy(table))
         self.embedding.weight.requires_grad = False
-        self.rnn = nn.GRU(EMBED, HIDDEN, num_layers=1, batch_first=True, bidirectional=True)
+        rnn_cls = getattr(nn, rnn_type)
+        self.rnn = rnn_cls(EMBED, HIDDEN, num_layers=1, batch_first=True, bidirectional=True)
         self.projection = nn.Linear(2 * HIDDEN, HIDDEN)
         layer = params["layers"][0]
         for d_name, suffix in zip(("fwd", "bwd"), ("", "_reverse")):
@@ -57,7 +59,10 @@ class _TorchTower(nn.Module):
         packed = nn.utils.rnn.pack_padded_sequence(
             self.embedding(tokens), lengths, batch_first=True, enforce_sorted=False
         )
-        _, h_n = self.rnn(packed)
+        if self.rnn_type == "LSTM":
+            _, (h_n, _) = self.rnn(packed)
+        else:
+            _, h_n = self.rnn(packed)
         hidden = self.projection(torch.cat([h_n[-2], h_n[-1]], dim=1))
         return F.normalize(hidden, p=2, dim=1)
 
@@ -78,9 +83,10 @@ def _batches(rng, n):
     return out
 
 
-def test_ten_step_loss_trajectory_matches_torch():
+@pytest.mark.parametrize("rnn_type", ["GRU", "LSTM"])
+def test_ten_step_loss_trajectory_matches_torch(rnn_type):
     config = Config(
-        vocab_size=VOCAB, embed_dim=EMBED, hidden_dim=HIDDEN, rnn_type="GRU",
+        vocab_size=VOCAB, embed_dim=EMBED, hidden_dim=HIDDEN, rnn_type=rnn_type,
         num_layers=1, bidirectional=True, dropout=0.0, batch_size=B,
         lr=LR, margin=MARGIN, loss_type="triplet", normalize_output=True,
         max_query_len=TQ, max_doc_len=TD,
@@ -94,8 +100,8 @@ def test_ten_step_loss_trajectory_matches_torch():
     step_fn = jax.jit(make_train_step(spec, config))
 
     torch.manual_seed(0)
-    q_tower = _TorchTower(params["query"], table)
-    d_tower = _TorchTower(params["doc"], table)
+    q_tower = _TorchTower(params["query"], table, rnn_type)
+    d_tower = _TorchTower(params["doc"], table, rnn_type)
     t_params = [p for t in (q_tower, d_tower) for p in t.parameters() if p.requires_grad]
     opt = torch.optim.Adam(t_params, lr=LR)
 
