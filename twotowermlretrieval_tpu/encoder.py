@@ -3,8 +3,10 @@
 Shared by the evaluators (ref: backend/evaluators.py:162-175), the artifact
 exporter (ref: backend/main.py:125-133) and the serving inferencer
 (ref: backend/query_inferencer.py:59-75): tokenize to static shapes, run the
-jitted tower, return numpy embeddings. One compiled executable per
-(batch_size, max_len) pair — callers reuse one instance to avoid recompiles.
+jitted tower, return numpy embeddings. Batches come from a FIXED bucket
+set ({16, 128, corpus_batch_size} rows), so at most three executables per
+(tower, max_len) exist process-wide — the jits are module-level and shared
+across instances.
 """
 
 from __future__ import annotations

@@ -3,15 +3,18 @@
 Replaces the reference's ChromaDB HNSW collection + offline indexing
 notebook (ref: frontend/main.py:74-76, 153-156; frontend/save_to_chromaDB.ipynb):
 the corpus embedding matrix lives in device HBM (bf16 by default — halves
-the bandwidth per query) and every search is an exact fused score+top-k
-(ops.topk.fused_topk on TPU, topk_segmented elsewhere). No approximate
-index to build, persist, or tune; "indexing" is one device_put.
+the bandwidth per query; int8 row-quantized halves it again) and every
+search is an exact fused score+top-k (ops.topk.fused_topk on TPU,
+topk_segmented elsewhere). By default no approximate index is built,
+persisted, or tuned; "indexing" is one device_put. For corpora beyond
+~1M docs, ``index_type='ivf'`` switches to the on-device IVF index
+(ops/ivf.py).
 
 Scores are inner products == cosine for normalized towers, matching the
 reference's ``1 - distance`` (frontend/main.py:162).
 
 With a multi-device mesh the corpus is row-sharded over 'data' and searches
-run through parallel.topk.distributed_topk (BASELINE config 4).
+run through parallel.topk.distributed_topk[_int8] (BASELINE config 4).
 """
 
 from __future__ import annotations
