@@ -64,6 +64,13 @@ def in_batch_softmax_loss(
     ``axis_name`` set (inside shard_map/pjit over a 'data' axis), documents
     are gathered across chips: the label for local query i on axis-index k
     becomes ``k * B_local + i``.
+
+    Padded rows (weight 0) are excluded twice: their NLL is weighted out,
+    AND their *document columns* are masked out of every softmax — a
+    repeat-padded row duplicates a real document, which would otherwise
+    appear as a second, negative-labeled copy of that query's positive.
+    The label column is left unmasked so padded rows' own (zero-weighted)
+    NLL stays finite.
     """
     B = query_emb.shape[0]
     if axis_name is not None:
@@ -76,6 +83,17 @@ def in_batch_softmax_loss(
         jnp.dot(query_emb, all_docs.T, preferred_element_type=jnp.float32) / temperature
     )  # [B, B_global]
     labels = jnp.arange(B, dtype=jnp.int32) + offset
+    if weights is not None:
+        col_weights = (
+            jax.lax.all_gather(weights, axis_name, tiled=True)
+            if axis_name is not None
+            else weights
+        )  # [B_global]
+        col_idx = jnp.arange(all_docs.shape[0], dtype=jnp.int32)
+        # keep column j when it is a real doc OR it is this row's own label
+        # (finite -1e9, not -inf: 0-weight * inf would produce NaN)
+        keep = (col_weights > 0)[None, :] | (col_idx[None, :] == labels[:, None])
+        logits = jnp.where(keep, logits, jnp.float32(-1e9))
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
     if weights is None:
