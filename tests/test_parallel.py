@@ -351,6 +351,52 @@ def test_distributed_topk_int8_matches_local():
     assert (np.asarray(di) == np.asarray(li)).mean() > 0.95  # ties may reorder
 
 
+def test_distributed_topk_k_larger_than_shard():
+    """A small corpus spread over many devices leaves fewer than k rows per
+    shard; per-shard k must clamp to shard_rows and the merge stay exact
+    (regression: serving a 295-doc corpus with fanout 50 over 8 devices)."""
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(8)
+    d = rng.standard_normal((100, 16)).astype(np.float32)  # 13 rows/shard
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    docs_sharded, n_valid = shard_corpus(d, mesh)
+    vals, ids = distributed_topk(
+        jnp.asarray(q), docs_sharded, k=50, mesh=mesh, n_valid=n_valid, use_pallas=False
+    )
+    ref_vals, ref_ids = topk_oracle(jnp.asarray(q), jnp.asarray(d), 50)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
+def test_distributed_topk_does_not_retrace_per_call():
+    """The shard_map+jit search callable is built once per (mesh, k,
+    backend, storage) and cached — per-request retracing was the serving
+    hot-path regression flagged in round 1."""
+    from twotowermlretrieval_tpu.parallel.topk import (
+        _compiled_topk,
+        distributed_topk,
+        shard_corpus,
+    )
+
+    rng = np.random.default_rng(7)
+    mesh = make_mesh(data=8, model=1)
+    docs_sharded, n_valid = shard_corpus(
+        rng.standard_normal((640, 16)).astype(np.float32), mesh
+    )
+    q = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    _compiled_topk.cache_clear()
+    distributed_topk(q, docs_sharded, k=5, mesh=mesh, n_valid=n_valid, use_pallas=False)
+    fn = _compiled_topk(mesh, 5, False, False, quantized=False)
+    traces_after_first = fn._cache_size()
+    for _ in range(3):
+        distributed_topk(q, docs_sharded, k=5, mesh=mesh, n_valid=n_valid, use_pallas=False)
+    assert _compiled_topk.cache_info().currsize == 1
+    assert fn._cache_size() == traces_after_first == 1
+    # a different corpus size with the same shapes reuses the executable
+    distributed_topk(q, docs_sharded, k=5, mesh=mesh, n_valid=600, use_pallas=False)
+    assert fn._cache_size() == 1
+
+
 def test_distributed_topk_padding_never_displaces_real_docs():
     """Zero-padding rows score 0.0; with all-negative similarities they
     must not consume local top-k slots (regression: mask must act inside
