@@ -138,7 +138,12 @@ def test_ranks_of_diagonal():
 def test_batch_evaluator_protocol(setup):
     config, tokenizer, spec, params, datasets = setup
     state = create_train_state(jax.random.key(1), params, config)
-    eval_step = jax.jit(make_eval_step(spec, config))
+    from twotowermlretrieval_tpu.data.batching import unpack_batch
+
+    raw_eval = make_eval_step(spec, config)
+    eval_step = jax.jit(
+        lambda st, packed: raw_eval(st, unpack_batch(packed, config.max_query_len))
+    )
     metrics, val_loss = BatchEvaluator().evaluate(
         eval_step, state, _batcher(config, tokenizer, datasets["validation"])
     )

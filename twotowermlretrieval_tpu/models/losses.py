@@ -30,24 +30,50 @@ def _cosine(a: jax.Array, b: jax.Array, eps: float = 1e-8) -> jax.Array:
     return jnp.sum(a * b, axis=-1) / (na * nb)
 
 
+def _weighted_mean(
+    per_example: jax.Array, weights: Optional[jax.Array], axis_name: Optional[str]
+) -> jax.Array:
+    """Weighted mean of per-example losses; with ``axis_name`` the
+    normalization is GLOBAL across the data shards.
+
+    Per-shard normalization would be wrong whenever real examples are
+    unevenly spread over shards (a repeat-padded final batch puts all its
+    zero-weight rows on the tail shards): each shard would divide by a
+    different count and the later pmean would not recover the global mean.
+    The returned per-shard value is scaled by the axis size so that the
+    caller's ``pmean`` over gradients AND over the loss metric is exact.
+    """
+    if weights is None:
+        if axis_name is None:
+            return jnp.mean(per_example)
+        weights = jnp.ones(per_example.shape[0], per_example.dtype)
+    num = jnp.sum(per_example * weights)
+    den = jnp.sum(weights)
+    if axis_name is None:
+        return num / jnp.maximum(den, 1.0)
+    axis_size = jax.lax.psum(1, axis_name)
+    global_den = jax.lax.psum(den, axis_name)
+    return axis_size * num / jnp.maximum(global_den, 1.0)
+
+
 def triplet_loss_cosine(
     triplet: Tuple[jax.Array, jax.Array, jax.Array],
     margin: float = 0.2,
     weights: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Cosine triplet margin loss (ref: model.py:109-114).
 
     weights: optional [B] — 0 entries (repeat-padded rows) are excluded from
-    the mean, keeping the value identical to a ragged batch.
+    the mean, keeping the value identical to a ragged batch. axis_name:
+    set under shard_map so the mean normalizes over the GLOBAL batch
+    (see _weighted_mean).
     """
     query, pos_doc, neg_doc = triplet
     pos_sim = _cosine(query, pos_doc)
     neg_sim = _cosine(query, neg_doc)
     per_example = jnp.maximum(neg_sim - pos_sim + margin, 0.0)
-    if weights is None:
-        return jnp.mean(per_example)
-    denom = jnp.maximum(jnp.sum(weights), 1.0)
-    return jnp.sum(per_example * weights) / denom
+    return _weighted_mean(per_example, weights, axis_name)
 
 
 def in_batch_softmax_loss(
@@ -56,14 +82,16 @@ def in_batch_softmax_loss(
     temperature: float = 0.05,
     weights: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    gather_negatives: bool = True,
 ) -> jax.Array:
     """Softmax contrastive loss with in-batch negatives.
 
     Positive for query i is document i (the protocol the reference's
     BatchEvaluator already assumes, ref: evaluators.py:59-65). With
-    ``axis_name`` set (inside shard_map/pjit over a 'data' axis), documents
-    are gathered across chips: the label for local query i on axis-index k
-    becomes ``k * B_local + i``.
+    ``axis_name`` set (inside shard_map/pjit over a 'data' axis) the mean
+    normalizes over the global batch, and — when ``gather_negatives`` —
+    documents are gathered across chips: the label for local query i on
+    axis-index k becomes ``k * B_local + i``.
 
     Padded rows (weight 0) are excluded twice: their NLL is weighted out,
     AND their *document columns* are masked out of every softmax — a
@@ -73,7 +101,8 @@ def in_batch_softmax_loss(
     NLL stays finite.
     """
     B = query_emb.shape[0]
-    if axis_name is not None:
+    gather = axis_name is not None and gather_negatives
+    if gather:
         all_docs = jax.lax.all_gather(doc_emb, axis_name, tiled=True)  # [B*D, H]
         offset = jax.lax.axis_index(axis_name) * B
     else:
@@ -85,9 +114,7 @@ def in_batch_softmax_loss(
     labels = jnp.arange(B, dtype=jnp.int32) + offset
     if weights is not None:
         col_weights = (
-            jax.lax.all_gather(weights, axis_name, tiled=True)
-            if axis_name is not None
-            else weights
+            jax.lax.all_gather(weights, axis_name, tiled=True) if gather else weights
         )  # [B_global]
         col_idx = jnp.arange(all_docs.shape[0], dtype=jnp.int32)
         # keep column j when it is a real doc OR it is this row's own label
@@ -96,10 +123,7 @@ def in_batch_softmax_loss(
         logits = jnp.where(keep, logits, jnp.float32(-1e9))
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
-    if weights is None:
-        return jnp.mean(nll)
-    denom = jnp.maximum(jnp.sum(weights), 1.0)
-    return jnp.sum(nll * weights) / denom
+    return _weighted_mean(nll, weights, axis_name)
 
 
 def combined_loss(
@@ -111,18 +135,26 @@ def combined_loss(
     temperature: float,
     weights: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    gather_negatives: bool = True,
 ) -> jax.Array:
     """Loss selected by Config.loss_type.
 
     'triplet'          — reference loss only
     'in_batch'         — softmax contrastive only (explicit negatives unused)
     'triplet+in_batch' — sum of both (explicit hard negative + in-batch)
+
+    axis_name: the data mesh axis when running under shard_map — every term
+    then normalizes over the GLOBAL batch. gather_negatives additionally
+    all-gathers documents so in-batch terms score B_global negatives
+    (Config.cross_device_negatives).
     """
     total = jnp.zeros((), jnp.float32)
     if loss_type in ("triplet", "triplet+in_batch"):
-        total = total + triplet_loss_cosine((query_emb, pos_emb, neg_emb), margin, weights)
+        total = total + triplet_loss_cosine(
+            (query_emb, pos_emb, neg_emb), margin, weights, axis_name
+        )
     if loss_type in ("in_batch", "triplet+in_batch"):
         total = total + in_batch_softmax_loss(
-            query_emb, pos_emb, temperature, weights, axis_name
+            query_emb, pos_emb, temperature, weights, axis_name, gather_negatives
         )
     return total

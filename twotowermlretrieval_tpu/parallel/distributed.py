@@ -82,15 +82,76 @@ def make_distributed_train_step(spec: TwoTowerSpec, config, mesh: Mesh, state: T
     return jax.jit(mapped, donate_argnums=(0,))
 
 
-def make_distributed_eval_step(spec: TwoTowerSpec, config, mesh: Mesh):
+def make_distributed_eval_step(spec: TwoTowerSpec, config, mesh: Mesh, state: Optional[TrainState] = None):
     """Eval step over the mesh: embeddings come back data-sharded (callers
-    concatenate on host), loss replicated."""
+    concatenate on host), loss replicated. ``state`` (specs template) is
+    required when the embedding table is row-sharded."""
     step_fn = make_eval_step(spec, config, axis_name=DATA_AXIS)
+    state_specs = (
+        state_partition_specs(state, config.shard_embedding_table)
+        if state is not None
+        else P()
+    )
     mapped = jax.shard_map(
         step_fn,
         mesh=mesh,
-        in_specs=(P(), _batch_specs()),
+        in_specs=(state_specs, _batch_specs()),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+# ---------------------------------------------------------------------------
+# packed-buffer variants (the end-to-end driver's hot path)
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_packed_train_step(
+    spec: TwoTowerSpec, config, mesh: Mesh, state: TrainState, max_query_len: int
+):
+    """UNJITTED shard_map train step over ONE packed [B, W] int32 buffer
+    (rows sharded on 'data'; unpacked on-device inside the mapped body so
+    the host ships a single array per step). The driver composes this with
+    ``lax.scan`` + ``jit`` for K-step dispatch groups — the same shape the
+    single-device path uses, so going distributed changes only the step
+    function and the batch sharding (ref driver role: backend/main.py:158-313)."""
+    from twotowermlretrieval_tpu.data.batching import unpack_batch
+
+    step_fn = make_train_step(spec, config, axis_name=DATA_AXIS)
+    state_specs = state_partition_specs(state, config.shard_embedding_table)
+
+    def packed_step(st, packed):
+        return step_fn(st, unpack_batch(packed, max_query_len))
+
+    return jax.shard_map(
+        packed_step,
+        mesh=mesh,
+        in_specs=(state_specs, P(DATA_AXIS)),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+
+
+def make_sharded_packed_eval_step(
+    spec: TwoTowerSpec, config, mesh: Mesh, state: TrainState, max_query_len: int
+):
+    """Jitted shard_map eval step over one packed [B, W] buffer; embeddings
+    return data-sharded, loss replicated."""
+    from twotowermlretrieval_tpu.data.batching import unpack_batch
+
+    step_fn = make_eval_step(spec, config, axis_name=DATA_AXIS)
+    state_specs = state_partition_specs(state, config.shard_embedding_table)
+
+    def packed_eval(st, packed):
+        return step_fn(st, unpack_batch(packed, max_query_len))
+
+    return jax.jit(
+        jax.shard_map(
+            packed_eval,
+            mesh=mesh,
+            in_specs=(state_specs, P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+            check_vma=False,
+        )
+    )

@@ -34,6 +34,16 @@ from twotowermlretrieval_tpu.encoder import TextEncoder
 Triplet = Tuple[str, str, str]
 
 
+def _block_ranks(q_block: jax.Array, d_embs: jax.Array, offset: int) -> jax.Array:
+    """Ranks (1-based, strictly-greater counting) of each block query's
+    positive — global query ``offset + r``'s positive sits at column
+    ``offset + r`` of the full similarity (ref: evaluators.py:59-65)."""
+    sim = jnp.dot(q_block, d_embs.T, preferred_element_type=jnp.float32)
+    rows = jnp.arange(q_block.shape[0])
+    diag = sim[rows, offset + rows]
+    return 1 + jnp.sum(sim > diag[:, None], axis=1)
+
+
 def ranks_of_diagonal(sim: np.ndarray) -> np.ndarray:
     """Rank (1-based) of sim[i, i] within row i, counting strictly-greater
     entries — the reference's sort-position semantics (evaluators.py:59-65)
@@ -48,30 +58,33 @@ class BatchEvaluator:
     def __init__(self, top_k: Sequence[int] = (1, 5, 10)):
         self.top_k = tuple(top_k)
 
-    def evaluate(self, eval_step, state, batcher) -> Tuple[Dict[str, float], float]:
-        """eval_step: jitted fn from make_eval_step; batcher: TripletBatcher
-        over the validation split. Returns (metrics, avg_val_loss)."""
+    # Row-block width for the rank computation: peak device memory is
+    # O(block * N) instead of the full [N, N] similarity (which matches the
+    # reference protocol but OOMs at full-validation scale).
+    rank_block_rows = 4096
+
+    def evaluate(self, eval_step, state, batcher, sharding=None) -> Tuple[Dict[str, float], float]:
+        """eval_step: jitted fn over (state, packed [B, W] buffer) ->
+        (q_emb, pos_emb, {'val_loss'}); batcher: TripletBatcher over the
+        validation split; sharding: optional NamedSharding for the packed
+        batch (mesh runs). Returns (metrics, avg_val_loss)."""
         # Keep per-batch results on device and fetch once: per-batch host
         # fetches cost a full round-trip each on remote-attached TPUs. Each
-        # batch ships as ONE packed buffer (prefetched), unpacked on device.
-        from twotowermlretrieval_tpu.data.batching import (
-            prefetch_packed_to_device,
-            unpack_batch,
-        )
+        # batch ships as ONE packed buffer (prefetched), unpacked on device
+        # inside eval_step.
+        from twotowermlretrieval_tpu.data.batching import prefetch_packed_to_device
 
         dev_q, dev_p, masks = [], [], []
         dev_loss = None
         num_batches = 0
-        max_query_len = batcher.q_tokens.shape[1]  # fixed query width
 
         def tracked():
             for batch in batcher.batches(seed=None):
                 masks.append(batch.example_mask.astype(bool))
                 yield batch
 
-        for packed in prefetch_packed_to_device(tracked()):
-            dev_batch = unpack_batch(packed, max_query_len)
-            q, p, m = eval_step(state, dev_batch)
+        for packed in prefetch_packed_to_device(tracked(), sharding=sharding):
+            q, p, m = eval_step(state, packed)
             dev_q.append(q)
             dev_p.append(p)
             dev_loss = m["val_loss"] if dev_loss is None else dev_loss + m["val_loss"]
@@ -80,14 +93,19 @@ class BatchEvaluator:
             return {}, 0.0
 
         real = np.concatenate(masks)
-        # Embeddings and the full [N, N] similarity stay on device
-        # (ref: evaluators.py:53); only the [N] rank vector is fetched.
+        # Embeddings stay on device (ref protocol scores every query against
+        # every positive, evaluators.py:53); ranks are computed in row
+        # blocks so only [block, N] similarity is ever materialized, and
+        # only the [N] rank vector is fetched.
         q_embs = jnp.concatenate(dev_q)[real]
         d_embs = jnp.concatenate(dev_p)[real]
         total_loss = float(dev_loss)
-        sim = jnp.dot(q_embs, d_embs.T, preferred_element_type=jnp.float32)
-        diag = jnp.diagonal(sim)
-        ranks = np.asarray(1 + jnp.sum(sim > diag[:, None], axis=1))
+        ranks = np.concatenate(
+            [
+                np.asarray(_block_ranks(q_embs[i : i + self.rank_block_rows], d_embs, i))
+                for i in range(0, q_embs.shape[0], self.rank_block_rows)
+            ]
+        )
         metrics = {f"Recall@{k}": float((ranks <= k).mean()) for k in self.top_k}
         metrics["MRR"] = float((1.0 / ranks).mean())
         return metrics, total_loss / max(num_batches, 1)

@@ -13,7 +13,16 @@ eval. Differences from the reference loop:
 - optional mid-training checkpoint/resume (absent in the reference);
 - ``--model_path`` eval-only mode preserved (ref: backend/main.py:81-89,
   198-200): loads weights, skips training AND artifact export, runs only
-  the test evaluator.
+  the test evaluator;
+- **mesh-native**: with >1 device this driver IS the SPMD entry point
+  (the reference is strictly single-device, backend/main.py:60-66). A
+  ('data', 'model') mesh is built from Config.mesh_data/mesh_model, packed
+  batches are sharded over 'data' in the prefetcher, the train/eval steps
+  run under shard_map (gradient psum, optional cross-device in-batch
+  negatives, optional row-sharded embedding tables over 'model'), and
+  checkpoints save/restore the sharded TrainState. The single- and
+  multi-device paths share the same packed-buffer step shape, so the only
+  differences are the step function and the batch placement.
 """
 
 from __future__ import annotations
@@ -61,6 +70,31 @@ def setup(config: Config):
     return config, tokenizer, table
 
 
+def build_mesh(config: Config):
+    """('data', 'model') mesh from Config.mesh_data/mesh_model, or None for
+    the single-device path. mesh_data=-1 claims all devices not on 'model'."""
+    from twotowermlretrieval_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    data = config.mesh_data if config.mesh_data != -1 else max(n // config.mesh_model, 1)
+    if data * config.mesh_model <= 1:
+        return None
+    if data * config.mesh_model > n:
+        raise ValueError(
+            f"mesh {data}x{config.mesh_model} needs {data * config.mesh_model} "
+            f"devices but only {n} are visible"
+        )
+    return make_mesh(data, config.mesh_model, devices=jax.devices()[: data * config.mesh_model])
+
+
+def _host_params(params, on_mesh: bool):
+    """Gather (possibly sharded) params to host numpy for the single-device
+    TextEncoder paths (corpus/test evaluators, artifact export)."""
+    if not on_mesh:
+        return params
+    return jax.tree.map(lambda x: np.asarray(x), params)
+
+
 def train(
     config: Config,
     use_wandb: bool = False,
@@ -72,19 +106,60 @@ def train(
     profile_dir: Optional[str | Path] = None,
 ) -> Dict[str, Any]:
     config, tokenizer, table = setup(config)
+    mesh = build_mesh(config)
+    if mesh is None and config.shard_embedding_table:
+        # row-sharding needs a 'model' axis to shard over
+        config = config.replace(shard_embedding_table=False)
+    if mesh is not None:
+        from twotowermlretrieval_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        if config.batch_size % n_data:
+            raise ValueError(
+                f"BATCH_SIZE={config.batch_size} must be divisible by the "
+                f"data mesh axis ({n_data})"
+            )
     builder = TripletBuilder(config)
     datasets = builder.load_datasets(subsample_ratio=config.subsample_ratio)
 
     spec = TwoTowerSpec.from_config(config)
+    # host-side encoding (evaluators, artifact export) always runs
+    # single-device on gathered params — never through the sharded lookup
+    host_spec = (
+        TwoTowerSpec.from_config(config.replace(shard_embedding_table=False))
+        if config.shard_embedding_table
+        else spec
+    )
     rng = jax.random.key(config.seed)
     init_rng, state_rng = jax.random.split(rng)
     params = init_two_tower(init_rng, spec, pretrained_embeddings=table)
     state = create_train_state(state_rng, params, config)
+    if mesh is not None:
+        from twotowermlretrieval_tpu.parallel.distributed import replicate_state
+
+        state = replicate_state(state, mesh, config.shard_embedding_table)
 
     logger = MetricLogger(use_wandb=use_wandb, wandb_config=config.to_dict(), run_name=run_name)
     results: Dict[str, Any] = {"run_name": logger.run_name}
 
-    eval_step = jax.jit(make_eval_step(spec, config), static_argnums=())
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from twotowermlretrieval_tpu.parallel.distributed import (
+            make_sharded_packed_eval_step,
+        )
+
+        eval_step = make_sharded_packed_eval_step(
+            spec, config, mesh, state, config.max_query_len
+        )
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        stack_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    else:
+        raw_eval = make_eval_step(spec, config)
+        eval_step = jax.jit(
+            lambda st, packed: raw_eval(st, unpack_batch(packed, config.max_query_len))
+        )
+        batch_sharding = None
+        stack_sharding = None
     batch_evaluator = BatchEvaluator()
     corpus_evaluator = CorpusEvaluator(seed=config.seed)
 
@@ -94,7 +169,7 @@ def train(
 
         params = load_params_npz(model_path)
         encoder = TextEncoder(
-            params, spec, tokenizer, batch_size=config.batch_size,
+            params, host_spec, tokenizer, batch_size=config.batch_size,
             max_query_len=config.max_query_len, max_doc_len=config.max_doc_len,
         )
         results["test_eval"] = TestEvaluator(seed=config.seed).evaluate(
@@ -119,18 +194,28 @@ def train(
     # it. On remote-attached TPUs every dispatch/transfer is a round-trip;
     # k = config.steps_per_dispatch amortizes it.
     K = max(1, int(config.steps_per_dispatch))
-    raw_step = make_train_step(spec, config)
+    if mesh is not None:
+        from twotowermlretrieval_tpu.parallel.distributed import (
+            make_sharded_packed_train_step,
+        )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, packed):
-        return raw_step(state, unpack_batch(packed, config.max_query_len))
+        # shard_map step (grad psum over 'data'; cross-device negatives /
+        # row-sharded tables per config) — same packed-buffer shape as the
+        # single-device path, composed with scan+jit identically below
+        packed_step = make_sharded_packed_train_step(
+            spec, config, mesh, state, config.max_query_len
+        )
+    else:
+        raw_step = make_train_step(spec, config)
+
+        def packed_step(st, packed):
+            return raw_step(st, unpack_batch(packed, config.max_query_len))
+
+    train_step = jax.jit(packed_step, donate_argnums=(0,))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_multi_step(state, packed_stack):
-        def body(st, packed):
-            return raw_step(st, unpack_batch(packed, config.max_query_len))
-
-        return jax.lax.scan(body, state, packed_stack)
+        return jax.lax.scan(packed_step, state, packed_stack)
 
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_epoch, skip_batches = 0, 0
@@ -152,27 +237,36 @@ def train(
         return dict(zip(keys, vals.tolist()))
 
     def packed_groups(batches):
-        """Stack up to K same-shape packed buffers into [k, B, W] arrays
-        (a length-bucket width change flushes the current group early)."""
+        """Stack up to K same-shape packed buffers into ([k, B, W] array,
+        real-example count) pairs (a length-bucket width change flushes the
+        current group early). The count excludes repeat-padded rows so
+        examples/s reports real work."""
         group: list = []
+
+        def flush():
+            stack = np.stack(group)
+            return stack, int(stack[:, :, -1].sum())  # last col = example_mask
+
         for b in batches:
             p = pack_batch(b)
             if group and p.shape != group[0].shape:
-                yield np.stack(group)
+                yield flush()
                 group = []
             group.append(p)
             if len(group) == K:
-                yield np.stack(group)
+                yield flush()
                 group = []
         if group:
-            yield np.stack(group)
+            yield flush()
 
     def prefetch_groups(groups, size: int = 2):
         import collections
 
         q: collections.deque = collections.deque()
-        for g in groups:
-            q.append(jax.device_put(g))
+        for g, n_real in groups:
+            # with a mesh the device_put also splits rows across 'data'
+            put = jax.device_put(g, stack_sharding) if stack_sharding is not None else jax.device_put(g)
+            q.append((put, n_real))
             if len(q) >= size:
                 yield q.popleft()
         while q:
@@ -209,7 +303,7 @@ def train(
             # deterministic resume: replay the shuffle, skip done work
             batch_iter = itertools.islice(batch_iter, skip_batches, None)
             batch_index = skip_batches
-        for stack in prefetch_groups(packed_groups(batch_iter)):
+        for stack, n_real in prefetch_groups(packed_groups(batch_iter)):
             k = stack.shape[0]
             if (
                 profile_dir is not None
@@ -233,7 +327,7 @@ def train(
             step += k
             batch_index += k
             num_batches += k
-            examples_seen += config.batch_size * k
+            examples_seen += n_real
             if t_step0 is not None:
                 # the first call blocks on (remote) XLA compilation; record
                 # it so steady-state throughput can be reported separately
@@ -261,9 +355,12 @@ def train(
         )
 
         # per-epoch evaluation (ref: backend/main.py:275-296)
-        batch_metrics, avg_val_loss = batch_evaluator.evaluate(eval_step, state, val_batcher)
+        batch_metrics, avg_val_loss = batch_evaluator.evaluate(
+            eval_step, state, val_batcher, sharding=batch_sharding
+        )
         encoder = TextEncoder(
-            merge_params(state.trainable, state.frozen), spec, tokenizer,
+            _host_params(merge_params(state.trainable, state.frozen), mesh is not None),
+            host_spec, tokenizer,
             batch_size=config.batch_size,
             max_query_len=config.max_query_len, max_doc_len=config.max_doc_len,
         )
@@ -292,17 +389,22 @@ def train(
     results["epochs"] = epoch_metrics_history
 
     # artifact export (ref: backend/main.py:303-304)
-    final_params = merge_params(state.trainable, state.frozen)
+    final_params = _host_params(
+        merge_params(state.trainable, state.frozen), mesh is not None
+    )
     output_dir = Path(output_root) / logger.run_name
-    save_inference_artifacts(output_dir, final_params, config, tokenizer, datasets)
+    export_encoder = TextEncoder(
+        final_params, host_spec, tokenizer, batch_size=config.batch_size,
+        max_query_len=config.max_query_len, max_doc_len=config.max_doc_len,
+    )
+    save_inference_artifacts(
+        output_dir, final_params, config, tokenizer, datasets, encoder=export_encoder
+    )
     results["artifacts_dir"] = str(output_dir)
 
     # qualitative test eval (ref: backend/main.py:308-313)
     if datasets.get("test"):
-        encoder = TextEncoder(
-            final_params, spec, tokenizer, batch_size=config.batch_size,
-            max_query_len=config.max_query_len, max_doc_len=config.max_doc_len,
-        )
+        encoder = export_encoder
         results["test_eval"] = TestEvaluator(seed=config.seed).evaluate(encoder, datasets["test"])
 
     logger.finish()

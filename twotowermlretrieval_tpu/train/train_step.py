@@ -112,8 +112,16 @@ def create_train_state(
 # ---------------------------------------------------------------------------
 
 
-def _weighted_mean(x: jax.Array, w: jax.Array) -> jax.Array:
-    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+def _weighted_mean(x: jax.Array, w: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
+    """Weighted mean; with axis_name the numerator AND denominator are
+    psum'd so every shard reports the exact global metric (per-shard
+    normalization would skew whenever padded rows concentrate on the tail
+    shards — see models.losses._weighted_mean)."""
+    num, den = jnp.sum(x * w), jnp.sum(w)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
 def _forward_and_metrics(
@@ -136,20 +144,22 @@ def _forward_and_metrics(
 
     loss = combined_loss(
         q, p, n, config.loss_type, config.margin, config.temperature, weights=w,
-        axis_name=axis_name if config.cross_device_negatives else None,
+        axis_name=axis_name,
+        gather_negatives=config.cross_device_negatives,
     )
 
-    # trainer.py metric set (ref: backend/trainer.py:38-55), on-device
+    # trainer.py metric set (ref: backend/trainer.py:38-55), on-device;
+    # globally normalized, so the later pmean is exact
     pos_sim = jnp.sum(q * p, axis=-1)
     neg_sim = jnp.sum(q * n, axis=-1)
     metrics = {
         "loss": loss,
-        "triplet_accuracy": _weighted_mean((pos_sim > neg_sim).astype(jnp.float32), w),
-        "similarity_gap": _weighted_mean(pos_sim - neg_sim, w),
-        "pos_similarity": _weighted_mean(pos_sim, w),
-        "neg_similarity": _weighted_mean(neg_sim, w),
-        "query_magnitude": _weighted_mean(jnp.linalg.norm(q, axis=-1), w),
-        "doc_magnitude": _weighted_mean(jnp.linalg.norm(p, axis=-1), w),
+        "triplet_accuracy": _weighted_mean((pos_sim > neg_sim).astype(jnp.float32), w, axis_name),
+        "similarity_gap": _weighted_mean(pos_sim - neg_sim, w, axis_name),
+        "pos_similarity": _weighted_mean(pos_sim, w, axis_name),
+        "neg_similarity": _weighted_mean(neg_sim, w, axis_name),
+        "query_magnitude": _weighted_mean(jnp.linalg.norm(q, axis=-1), w, axis_name),
+        "doc_magnitude": _weighted_mean(jnp.linalg.norm(p, axis=-1), w, axis_name),
     }
     return loss, metrics
 
@@ -172,6 +182,10 @@ def make_train_step(spec: TwoTowerSpec, config, axis_name: Optional[str] = None)
 
     def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, dropout_rng = jax.random.split(state.rng)
+        if axis_name is not None:
+            # decorrelate dropout masks across data shards (the replicated
+            # rng would otherwise apply identical masks to different rows)
+            dropout_rng = jax.random.fold_in(dropout_rng, jax.lax.axis_index(axis_name))
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.trainable, state.frozen, batch, dropout_rng
         )
@@ -204,8 +218,11 @@ def make_eval_step(spec: TwoTowerSpec, config, axis_name: Optional[str] = None):
         p = encode_document(params, batch.pos_tokens, batch.pos_len, spec)
         n = encode_document(params, batch.neg_tokens, batch.neg_len, spec)
         # Validation loss uses the reference's triplet loss regardless of the
-        # training loss (ref: evaluators.py:36-37)
-        loss = triplet_loss_cosine((q, p, n), config.margin, weights=batch.example_mask)
+        # training loss (ref: evaluators.py:36-37); global weighted mean,
+        # so the pmean of the axis-size-scaled value is exact
+        loss = triplet_loss_cosine(
+            (q, p, n), config.margin, weights=batch.example_mask, axis_name=axis_name
+        )
         if axis_name is not None:
             loss = jax.lax.pmean(loss, axis_name)
         return q, p, {"val_loss": loss}
