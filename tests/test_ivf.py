@@ -57,3 +57,53 @@ def test_recall_at_small_nprobe(corpus):
     ai, ei = np.asarray(ai), np.asarray(ei)
     recall = np.mean([len(set(ai[b]) & set(ei[b])) / 10 for b in range(len(ai))])
     assert recall >= 0.9, recall
+
+
+def test_kmeans_init_ignores_chunk_padding(corpus):
+    """N=6000 << the 131072-row kmeans chunk: init must sample only real
+    rows, so the effective cluster count stays near C instead of
+    collapsing to ~N/chunk (ADVICE r1, medium)."""
+    docs, _ = corpus
+    index = build_ivf(docs, num_clusters=64, iters=5, storage_dtype="float32")
+    ids = np.asarray(index.ids)
+    # count distinct non-empty blocks; with zero-seeded centroids nearly
+    # all clusters die and everything lands in a handful of blocks
+    non_empty = int((ids >= 0).any(axis=1).sum())
+    assert non_empty >= 32, f"only {non_empty} non-empty blocks — init collapsed"
+    # cap near the mean cluster size => no block is mostly padding
+    occupancy = (ids >= 0).sum() / ids.size
+    assert occupancy > 0.3, occupancy
+
+
+def test_int8_ivf_recall_matches_exact(corpus):
+    """int8 block storage: recall@50 >= 0.99 vs the exact f32 scan with a
+    full probe, isolating the quantization error from the probe-coverage
+    error (VERDICT r1 item 6 acceptance bar). At matched nprobe, int8
+    recall tracks f32 recall to ~1e-3 (probe coverage dominates both)."""
+    docs, queries = corpus
+    index = build_ivf(docs, num_clusters=64, iters=8, storage_dtype="int8")
+    assert index.scales is not None and np.asarray(index.docs).dtype == np.int8
+    full_probe = int(index.docs.shape[0])
+    av, ai = ivf_search(jnp.asarray(queries), index, k=50, nprobe=full_probe)
+    _, ei = topk_oracle(jnp.asarray(queries), jnp.asarray(docs), 50)
+    ai, ei = np.asarray(ai), np.asarray(ei)
+    recall = np.mean([len(set(ai[b]) & set(ei[b])) / 50 for b in range(len(ai))])
+    assert recall >= 0.99, recall
+
+
+def test_ivf_persistence_roundtrip(corpus, tmp_path):
+    """save_ivf/load_ivf reproduce identical search results for every
+    storage dtype (bf16 rides as a uint16 view inside the npz)."""
+    from twotowermlretrieval_tpu.ops.ivf import load_ivf, save_ivf
+
+    docs, queries = corpus
+    for dtype in ("float32", "bfloat16", "int8"):
+        index = build_ivf(docs, num_clusters=32, iters=3, storage_dtype=dtype)
+        path = tmp_path / f"ivf_{dtype}.npz"
+        save_ivf(path, index)
+        loaded = load_ivf(path)
+        assert str(np.asarray(loaded.docs).dtype) == str(np.asarray(index.docs).dtype)
+        v1, i1 = ivf_search(jnp.asarray(queries), index, k=10, nprobe=8)
+        v2, i2 = ivf_search(jnp.asarray(queries), loaded, k=10, nprobe=8)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)

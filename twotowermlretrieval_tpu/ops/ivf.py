@@ -31,7 +31,7 @@ HBM pass is too slow, while staying a pure-array, jit-compatible design.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,9 +40,10 @@ import numpy as np
 
 class IVFIndex(NamedTuple):
     centroids: jax.Array  # [C, H] f32, unit-norm
-    docs: jax.Array  # [C, cap, H] storage dtype (f32/bf16)
+    docs: jax.Array  # [C, cap, H] storage dtype (f32/bf16/int8)
     ids: jax.Array  # [C, cap] int32, -1 for padding slots
     cap: int
+    scales: Optional[jax.Array] = None  # [C, cap] f32, int8 storage only
 
 
 _KMEANS_CHUNK = 131072  # bounds the [chunk, C] score tile to ~0.5-1 GB
@@ -84,12 +85,17 @@ def _assign_chunk(chunk, centroids):
     )
 
 
-def _kmeans(chunked: jax.Array, num_clusters: int, iters: int, seed: int) -> jax.Array:
+def _kmeans(
+    chunked: jax.Array, n_real: int, num_clusters: int, iters: int, seed: int
+) -> jax.Array:
     """Spherical k-means over pre-chunked [nc, chunk, H] docs; returns
-    unit-norm centroids [C, H] f32."""
+    unit-norm centroids [C, H] f32. Init samples only the ``n_real``
+    leading rows — the chunk tail is zero padding, and seeding centroids
+    from it would collapse the effective cluster count for any corpus much
+    smaller than the chunk width (ADVICE r1)."""
     flat = chunked.reshape(-1, chunked.shape[-1])
     key = jax.random.key(seed)
-    init_idx = jax.random.choice(key, flat.shape[0], (num_clusters,), replace=False)
+    init_idx = jax.random.choice(key, n_real, (num_clusters,), replace=False)
     centroids = flat[init_idx]
     for _ in range(iters):
         centroids = _lloyd_step(chunked, centroids, num_clusters)
@@ -103,7 +109,9 @@ def build_ivf(
     storage_dtype: str = "bfloat16",
     seed: int = 0,
 ) -> IVFIndex:
-    """Cluster the corpus and reorder it into dense [C, cap, H] blocks."""
+    """Cluster the corpus and reorder it into dense [C, cap, H] blocks.
+    storage_dtype 'int8' row-quantizes each packed slot (scale = max|row|/127,
+    kept in ``scales``) — half the probe gather traffic of bf16."""
     x = np.asarray(doc_embeddings, np.float32)
     N, H = x.shape
     if not num_clusters:
@@ -111,7 +119,7 @@ def build_ivf(
     num_clusters = min(num_clusters, N)
 
     chunked = _pad_to_chunks(jnp.asarray(x))  # chunk ONCE for kmeans + assignment
-    centroids = _kmeans(chunked, num_clusters, iters, seed)
+    centroids = _kmeans(chunked, N, num_clusters, iters, seed)
     assign = np.concatenate(
         [np.asarray(_assign_chunk(c, centroids)) for c in chunked]
     )[:N]
@@ -147,12 +155,68 @@ def build_ivf(
         np.repeat(np.arange(num_clusters), blocks_per_cluster)
     ]
 
+    if storage_dtype == "int8":
+        absmax = np.abs(packed).max(axis=-1)  # [n_blocks, cap]
+        scales = (absmax / 127.0).astype(np.float32)
+        safe = np.where(scales > 0, scales, 1.0)
+        values = np.rint(packed / safe[..., None]).astype(np.int8)
+        return IVFIndex(
+            centroids=jnp.asarray(block_centroids),
+            docs=jnp.asarray(values),
+            ids=jnp.asarray(ids),
+            cap=cap,
+            scales=jnp.asarray(scales),
+        )
+
     return IVFIndex(
         centroids=jnp.asarray(block_centroids),
         docs=jnp.asarray(packed).astype(jnp.dtype(storage_dtype)),
         ids=jnp.asarray(ids),
         cap=cap,
     )
+
+
+def save_ivf(path, index: IVFIndex) -> None:
+    """Persist the three-array (plus optional scales) index as one .npz —
+    the offline/online split the reference gets from its ChromaDB store
+    (ref: frontend/save_to_chromaDB.ipynb): build once at export, load at
+    serve with no k-means on the cold-start path. bfloat16 payloads ride as
+    a uint16 view (npz has no native bf16)."""
+    docs = np.asarray(index.docs)
+    docs_dtype = str(docs.dtype)
+    if docs_dtype == "bfloat16":
+        docs = docs.view(np.uint16)
+    arrays = dict(
+        centroids=np.asarray(index.centroids),
+        docs=docs,
+        docs_dtype=np.asarray(docs_dtype),
+        ids=np.asarray(index.ids),
+        cap=np.asarray(index.cap, np.int32),
+    )
+    if index.scales is not None:
+        arrays["scales"] = np.asarray(index.scales)
+    np.savez(path, **arrays)
+
+
+def load_ivf(path) -> IVFIndex:
+    """Inverse of :func:`save_ivf`; arrays go straight to device."""
+    with np.load(path) as z:
+        docs = z["docs"]
+        docs_dtype = str(z["docs_dtype"])
+        if docs_dtype == "bfloat16":
+            import ml_dtypes
+
+            docs = docs.view(ml_dtypes.bfloat16)
+        return IVFIndex(
+            centroids=jnp.asarray(z["centroids"]),
+            docs=jnp.asarray(docs),
+            ids=jnp.asarray(z["ids"]),
+            cap=int(z["cap"]),
+            scales=jnp.asarray(z["scales"]) if "scales" in z.files else None,
+        )
+
+
+IVF_INDEX_FILE = "ivf_index.npz"
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
@@ -174,10 +238,19 @@ def ivf_search(
 
     blocks = index.docs[probe]  # [B, nprobe, cap, H] (gather)
     block_ids = index.ids[probe]  # [B, nprobe, cap]
-    scores = jnp.einsum(
-        "bh,bpch->bpc", q.astype(blocks.dtype), blocks,
-        preferred_element_type=jnp.float32,
-    ).reshape(B, -1)
+    if index.scales is not None:
+        # int8 rows: dot in f32 (the gather already paid the bandwidth;
+        # the in-register upcast is free), then per-slot dequant scale
+        scores = jnp.einsum(
+            "bh,bpch->bpc", q, blocks.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * index.scales[probe]
+        scores = scores.reshape(B, -1)
+    else:
+        scores = jnp.einsum(
+            "bh,bpch->bpc", q.astype(blocks.dtype), blocks,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, -1)
     flat_ids = block_ids.reshape(B, -1)
     scores = jnp.where(flat_ids >= 0, scores, jnp.float32(-3.0e38))
 

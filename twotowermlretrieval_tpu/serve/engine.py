@@ -88,6 +88,9 @@ class SearchEngine:
         use_pallas: Optional[bool] = None,
         interpret: bool = False,
         batch_window_ms: float = 0.0,  # >0 enables request micro-batching
+        index_type: str = "exact",  # 'exact' | 'ivf'
+        nprobe: int = 16,
+        warmup: Optional[bool] = None,  # compile the search path up front
     ):
         loaded = load_artifacts(artifacts_path, require_index=True)
         self.config = loaded.config
@@ -101,18 +104,41 @@ class SearchEngine:
             mesh=mesh,
             use_pallas=use_pallas,
             interpret=interpret,
+            index_type=index_type,
+            nprobe=nprobe,
+            # a prebuilt index exported with the artifacts skips cold-start
+            # k-means entirely
+            ivf_index=loaded.ivf_index if index_type == "ivf" else None,
         )
         self._batcher = (
             _MicroBatcher(self._dense_batch, window_ms=batch_window_ms)
             if batch_window_ms > 0
             else None
         )
+        # Compile the dense search path before serving: the first search
+        # otherwise pays XLA compilation (6-60 s through a remote relay),
+        # which can starve micro-batch followers past their wait deadline.
+        if warmup if warmup is not None else batch_window_ms > 0:
+            self._dense_search("warmup", fanout=50)
+
+    # Micro-batch sizes are bucketed so each concurrency level does not
+    # compile a fresh query-tower executable (the index pads internally;
+    # the encoder's own buckets are {16, 128, ...} — see TextEncoder._run).
+    _BATCH_BUCKETS = (1, 8, 16, 32)
 
     def _dense_batch(self, requests: Sequence[Dict]):
         """One batched encode + index search for many concurrent requests;
-        each request dict carries {'query', 'fanout'}."""
+        each request dict carries {'query', 'fanout'}. The coalesced batch
+        is padded up to a fixed bucket size (repeating the first query) so
+        distinct concurrency levels share executables."""
         fanout = max(r["fanout"] for r in requests)
-        embs = self.inferencer.get_query_embeddings([r["query"] for r in requests])
+        queries = [r["query"] for r in requests]
+        bucket = next(
+            (b for b in self._BATCH_BUCKETS if b >= len(queries)),
+            len(queries),
+        )
+        padded = queries + [queries[0]] * (bucket - len(queries))
+        embs = self.inferencer.get_query_embeddings(padded)
         scores, ids = self.index.search(embs, k=fanout)
         return [
             (scores[i, : r["fanout"]], ids[i, : r["fanout"]])

@@ -47,6 +47,7 @@ class RetrievalIndex:
         index_type: str = "exact",  # 'exact' | 'ivf' (approximate, >1M docs)
         nprobe: int = 16,
         num_clusters: int = 0,  # ivf only; 0 = sqrt(N) heuristic
+        ivf_index=None,  # prebuilt ops.ivf.IVFIndex (artifact cold-start path)
     ):
         self.num_docs = int(doc_embeddings.shape[0])
         self.dim = int(doc_embeddings.shape[1])
@@ -55,19 +56,28 @@ class RetrievalIndex:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
-        # 'ivf': approximate index for beyond-1M-doc corpora (ops/ivf.py)
+        # 'ivf': approximate index for beyond-1M-doc corpora (ops/ivf.py);
+        # storage may be f32/bf16/int8 (per-slot quantization). A prebuilt
+        # index (exported with the artifacts, ops.ivf.save_ivf) skips the
+        # k-means entirely on server cold start.
         self.ivf = None
+        if ivf_index is not None:
+            index_type = "ivf"
         if index_type == "ivf":
-            if mesh is not None or storage_dtype == "int8":
-                raise NotImplementedError("ivf composes with local f32/bf16 storage only")
-            from twotowermlretrieval_tpu.ops.ivf import build_ivf
+            if mesh is not None:
+                raise NotImplementedError(
+                    "ivf is a single-device index; use the exact sharded scan on a mesh"
+                )
+            if ivf_index is None:
+                from twotowermlretrieval_tpu.ops.ivf import build_ivf
 
-            self.ivf = build_ivf(
-                np.asarray(doc_embeddings, np.float32),
-                num_clusters=num_clusters, storage_dtype=storage_dtype,
-            )
+                ivf_index = build_ivf(
+                    np.asarray(doc_embeddings, np.float32),
+                    num_clusters=num_clusters, storage_dtype=storage_dtype,
+                )
+            self.ivf = ivf_index
             self.nprobe = nprobe
-            self.quantized = False
+            self.quantized = self.ivf.scales is not None
             self._n_valid = self.num_docs
             return
         # 'int8' row-quantizes the corpus (ops.topk.quantize_rows): 2x less

@@ -17,7 +17,6 @@ the reference (backend/main.py:101-106).
 from __future__ import annotations
 
 import pickle
-import shutil
 from pathlib import Path
 from typing import Dict, List, NamedTuple, Sequence, Tuple
 
@@ -55,18 +54,31 @@ def save_inference_artifacts(
     datasets: Dict[str, Sequence[Triplet]],
     encoder: TextEncoder | None = None,
     tfidf_max_features: int = 20000,
+    build_ivf_index: bool = False,
+    ivf_storage_dtype: str = "bfloat16",
+    ivf_num_clusters: int = 0,
 ) -> Path:
-    """Export the six-file serving contract (ref: backend/main.py:92-153)."""
+    """Export the six-file serving contract (ref: backend/main.py:92-153).
+
+    With ``build_ivf_index`` a seventh file, ``ivf_index.npz``, carries the
+    prebuilt IVF index so serving cold-starts without re-running k-means —
+    the offline/online split the reference implements as the
+    save_to_chromaDB notebook (ref: frontend/save_to_chromaDB.ipynb)."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
     # 1. model weights
     save_params_npz(output_dir / MODEL_FILE, params)
 
-    # 2. config enriched with runtime-derived keys (ref: backend/main.py:101-106)
+    # 2. config enriched with runtime-derived keys (ref: backend/main.py:101-106).
+    # Train-time placement knobs are neutralized: the artifact config is the
+    # serving-side architecture contract, and serving rehydrates towers
+    # single-device (a persisted shard_embedding_table would make the spec
+    # demand a 'model' mesh axis at inference).
     enriched = config.replace(
         vocab_size=tokenizer.vocab_size(),
         embed_dim=config.embed_dim,
+        shard_embedding_table=False,
     )
     enriched.to_json(output_dir / "config.json")
 
@@ -94,6 +106,17 @@ def save_inference_artifacts(
     with open(output_dir / "tfidf_artifacts.pkl", "wb") as f:
         pickle.dump({"vectorizer": vectorizer, "matrix": matrix}, f)
 
+    # 6. optional prebuilt IVF index (offline build, online load)
+    if build_ivf_index:
+        from twotowermlretrieval_tpu.ops.ivf import IVF_INDEX_FILE, build_ivf, save_ivf
+
+        index = build_ivf(
+            np.asarray(doc_embeddings, np.float32),
+            num_clusters=ivf_num_clusters,
+            storage_dtype=ivf_storage_dtype,
+        )
+        save_ivf(output_dir / IVF_INDEX_FILE, index)
+
     return output_dir
 
 
@@ -106,6 +129,7 @@ class LoadedArtifacts(NamedTuple):
     doc_embeddings: np.ndarray
     tfidf_vectorizer: TfidfVectorizer
     tfidf_matrix: object  # scipy CSR
+    ivf_index: object = None  # prebuilt ops.ivf.IVFIndex if exported
 
 
 def load_artifacts(artifacts_path: str | Path, require_index: bool = True) -> LoadedArtifacts:
@@ -126,7 +150,7 @@ def load_artifacts(artifacts_path: str | Path, require_index: bool = True) -> Lo
 
     documents: List[str] = []
     doc_embeddings = np.zeros((0, config.hidden_dim), np.float32)
-    vectorizer, matrix = None, None
+    vectorizer, matrix, ivf_index = None, None, None
     if require_index:
         with open(artifacts_path / "documents.pkl", "rb") as f:
             documents = pickle.load(f)
@@ -134,6 +158,11 @@ def load_artifacts(artifacts_path: str | Path, require_index: bool = True) -> Lo
         with open(artifacts_path / "tfidf_artifacts.pkl", "rb") as f:
             tfidf = pickle.load(f)
         vectorizer, matrix = tfidf["vectorizer"], tfidf["matrix"]
+        ivf_file = artifacts_path / "ivf_index.npz"
+        if ivf_file.exists():
+            from twotowermlretrieval_tpu.ops.ivf import load_ivf
+
+            ivf_index = load_ivf(ivf_file)
 
     return LoadedArtifacts(
         config=config,
@@ -144,4 +173,5 @@ def load_artifacts(artifacts_path: str | Path, require_index: bool = True) -> Lo
         doc_embeddings=doc_embeddings,
         tfidf_vectorizer=vectorizer,
         tfidf_matrix=matrix,
+        ivf_index=ivf_index,
     )
