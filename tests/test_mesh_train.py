@@ -131,3 +131,22 @@ def test_sharded_state_checkpoint_cross_mesh(corpus, tmp_path):
     sb = restored._replace(rng=jax.random.key_data(restored.rng))
     for a, b in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_pipeline_transformer_tp(corpus, tmp_path):
+    """End-to-end train() with a TP-sharded transformer tower (mesh 4x2):
+    runs, learns, exports artifacts that serve single-device."""
+    _, make_config = corpus
+    config = make_config(
+        tower_type="transformer", num_heads=2, ffn_dim=32, num_layers=1,
+        mesh_data=4, mesh_model=2, shard_embedding_table=True,
+        loss_type="triplet+in_batch", cross_device_negatives=True, epochs=1,
+    )
+    res = train(config, output_root=tmp_path / "tp", run_name="tp-run")
+    assert np.isfinite(res["epochs"][-1]["avg_train_loss"])
+
+    from twotowermlretrieval_tpu.serve.engine import SearchEngine
+
+    engine = SearchEngine(res["artifacts_dir"], use_pallas=False)
+    hit = engine.search("t0w1 t0w2 t0w3", alpha=1.0)
+    assert hit["results"] and np.isfinite(hit["results"][0]["score"])

@@ -422,3 +422,107 @@ def test_distributed_topk_padding_never_displaces_real_docs():
     ev, ei = topk_oracle(jnp.asarray(q), jnp.asarray(docs), 10)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(ev), rtol=1e-5, atol=1e-6)
     assert (np.asarray(di) == np.asarray(ei)).mean() > 0.95
+
+
+# ---------------------------------------------------------------------------
+# transformer tensor parallelism
+# ---------------------------------------------------------------------------
+
+
+def test_transformer_tp_matches_replicated():
+    """Head/FFN-sharded transformer encode over the 'model' axis must equal
+    the replicated single-device encode (SURVEY §2b row 2, BASELINE
+    config 5)."""
+    import dataclasses
+
+    from twotowermlretrieval_tpu.models.transformer import (
+        TransformerSpec,
+        init_transformer_encoder,
+        transformer_encode,
+    )
+    from twotowermlretrieval_tpu.parallel.distributed import transformer_tp_spec
+
+    spec_rep = TransformerSpec(
+        vocab_size=64, embed_dim=16, hidden_dim=32, num_layers=2, num_heads=8,
+        ffn_dim=64, compute_dtype="float32", max_len=8,
+    )
+    spec_tp = dataclasses.replace(spec_rep, model_axis="model", model_axis_size=8)
+    params = init_transformer_encoder(jax.random.key(0), spec_rep)
+    rng = np.random.default_rng(12)
+    tokens = jnp.asarray(rng.integers(1, 64, (4, 8)).astype(np.int32))
+    lengths = jnp.asarray([8, 5, 1, 0], jnp.int32)
+    ref = np.asarray(transformer_encode(params, tokens, lengths, spec_rep))
+
+    mesh = make_mesh(data=1, model=8)
+    param_specs = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: transformer_tp_spec(
+            {p.key for p in path if isinstance(p, jax.tree_util.DictKey)}, leaf
+        ) or P(),
+        params,
+    )
+    mapped = jax.shard_map(
+        lambda p, t, l: transformer_encode(p, t, l, spec_tp),
+        mesh=mesh,
+        in_specs=(param_specs, P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    out = np.asarray(mapped(params, tokens, lengths))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_transformer_tp_training_matches_single_device():
+    """Full distributed train step with a TP-sharded transformer tower
+    (mesh 4x2) matches the single-device step's loss."""
+    from twotowermlretrieval_tpu.parallel.distributed import (
+        make_distributed_train_step,
+        replicate_state,
+    )
+
+    config = _config(
+        tower_type="transformer", hidden_dim=16, num_heads=2, ffn_dim=32,
+        mesh_data=4, mesh_model=2, loss_type="triplet",
+    )
+    spec = TwoTowerSpec.from_config(config)
+    import dataclasses as _dc
+
+    # single-device reference: same architecture, no TP
+    spec_rep = TwoTowerSpec(
+        tower_type="transformer",
+        transformer=_dc.replace(spec.transformer, model_axis=None, model_axis_size=1),
+    )
+    params = init_two_tower(jax.random.key(0), spec_rep)
+    batch = _batch(np.random.default_rng(1), config.batch_size)
+
+    state1 = create_train_state(jax.random.key(1), params, config)
+    single = jax.jit(make_train_step(spec_rep, config.replace(mesh_model=1)))
+    _, m1 = single(state1, batch)
+
+    mesh = make_mesh(data=4, model=2)
+    state8 = create_train_state(jax.random.key(1), jax.tree.map(jnp.array, params), config)
+    state8 = replicate_state(state8, mesh, shard_embedding=False, shard_transformer=True)
+    dist = make_distributed_train_step(spec, config, mesh, state8)
+    dev_batch = jax.tree.map(lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+    state8, m8 = dist(state8, dev_batch)
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+    assert float(m1["grad_norm"]) == pytest.approx(float(m8["grad_norm"]), rel=1e-4)
+
+
+def test_initialize_multihost_calls_jax_distributed(monkeypatch):
+    """Bootstrap wrapper forwards to jax.distributed.initialize and
+    degrades to a no-op when already initialized (single-process runs)."""
+    from twotowermlretrieval_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda coordinator_address=None, **kw: calls.append((coordinator_address, kw)),
+    )
+    mesh_mod.initialize_multihost("10.0.0.1:1234", num_processes=2, process_id=0)
+    assert calls == [("10.0.0.1:1234", {"num_processes": 2, "process_id": 0})]
+
+    def raise_already(**kw):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_already)
+    mesh_mod.initialize_multihost()  # must not raise

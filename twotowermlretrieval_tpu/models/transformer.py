@@ -36,10 +36,29 @@ class TransformerSpec:
     compute_dtype: str = "bfloat16"
     max_len: int = 512  # learned positional table size
     embedding_axis: Optional[str] = None  # row-shard table over this axis
+    # Tensor parallelism over the mesh 'model' axis (SURVEY.md §2b row 2,
+    # BASELINE config 5): attention heads and FFN width are column-sharded
+    # (each shard computes num_heads/M local heads and ffn_dim/M columns),
+    # the attn-out and ffn-out projections are row-sharded, and one psum
+    # per sublayer restores the replicated activations. Megatron-style:
+    # two collectives per block, everything else local.
+    model_axis: Optional[str] = None
+    model_axis_size: int = 1
 
     def __post_init__(self):
         if self.hidden_dim % self.num_heads != 0:
             raise ValueError("hidden_dim must divide num_heads")
+        if self.model_axis is not None and self.model_axis_size > 1:
+            if self.num_heads % self.model_axis_size:
+                raise ValueError(
+                    f"num_heads={self.num_heads} must divide evenly over the "
+                    f"model axis ({self.model_axis_size})"
+                )
+            if self.ffn_dim % self.model_axis_size:
+                raise ValueError(
+                    f"ffn_dim={self.ffn_dim} must divide evenly over the "
+                    f"model axis ({self.model_axis_size})"
+                )
 
     @property
     def head_dim(self) -> int:
@@ -47,6 +66,7 @@ class TransformerSpec:
 
     @classmethod
     def from_config(cls, config) -> "TransformerSpec":
+        tp = getattr(config, "mesh_model", 1) > 1
         return cls(
             vocab_size=config.vocab_size,
             embed_dim=config.embed_dim,
@@ -59,12 +79,61 @@ class TransformerSpec:
             compute_dtype=config.compute_dtype,
             max_len=max(config.max_doc_len, config.max_query_len),
             embedding_axis="model" if config.shard_embedding_table else None,
+            model_axis="model" if tp else None,
+            model_axis_size=config.mesh_model if tp else 1,
         )
 
 
 def _dense_init(key, shape):
     fan_in = shape[0]
     return jax.random.normal(key, shape, jnp.float32) * (1.0 / np.sqrt(fan_in))
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _copy_to_tp(x, axis):
+    """Identity forward / psum backward over the TP axis (Megatron's 'f'
+    operator). Placed on the replicated activation entering each
+    column-parallel matmul: every shard's backward pass contributes only
+    its local heads'/FFN-columns' cotangent, so without this psum the
+    gradients of all upstream REPLICATED params (layer norms, input
+    projection, embeddings) would be silently partial per shard."""
+    return x
+
+
+def _copy_to_tp_fwd(x, axis):
+    return x, None
+
+
+def _copy_to_tp_bwd(axis, _, ct):
+    return (jax.lax.psum(ct, axis),)
+
+
+_copy_to_tp.defvjp(_copy_to_tp_fwd, _copy_to_tp_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _reduce_from_tp(x, axis):
+    """psum forward / identity backward (Megatron's 'g' operator), used on
+    the row-parallel out-projections' partial sums. The custom VJP matters:
+    the output cotangent is replicated across the TP axis, so each shard's
+    partial input gets it verbatim — differentiating through a raw psum
+    under shard_map(check_vma=False) instead transposes to another psum
+    and over-counts every upstream gradient by the axis size."""
+    return jax.lax.psum(x, axis)
+
+
+def _reduce_from_tp_fwd(x, axis):
+    return jax.lax.psum(x, axis), None
+
+
+def _reduce_from_tp_bwd(axis, _, ct):
+    return (ct,)
+
+
+_reduce_from_tp.defvjp(_reduce_from_tp_fwd, _reduce_from_tp_bwd)
 
 
 def init_transformer_encoder(
@@ -90,7 +159,13 @@ def init_transformer_encoder(
         blocks.append(
             {
                 "ln1": {"scale": jnp.ones((H,)), "bias": jnp.zeros((H,))},
-                "qkv": {"w": _dense_init(next(keys), (H, 3 * H)), "b": jnp.zeros((3 * H,))},
+                # qkv is head-major [H, 3, H]: the last axis is nh*hd, so a
+                # contiguous split over the 'model' mesh axis hands each
+                # shard whole heads (q, k and v alike)
+                "qkv": {
+                    "w": _dense_init(next(keys), (H, 3 * H)).reshape(H, 3, H),
+                    "b": jnp.zeros((3, H)),
+                },
                 "attn_out": {"w": _dense_init(next(keys), (H, H)), "b": jnp.zeros((H,))},
                 "ln2": {"scale": jnp.ones((H,)), "bias": jnp.zeros((H,))},
                 "ffn_in": {"w": _dense_init(next(keys), (H, spec.ffn_dim)), "b": jnp.zeros((spec.ffn_dim,))},
@@ -152,15 +227,34 @@ def transformer_encode(
         x = jnp.take(params["embedding"], tokens, axis=0)  # [B, T, E]
     x = _dense(x, params["input_proj"], cdt) + params["pos_embedding"][:T][None, :, :]
 
+    # Tensor parallelism: under shard_map over spec.model_axis each shard
+    # holds whole heads (qkv w [H, 3, H/M]) and an FFN column slice; the
+    # row-sharded out-projections produce partial sums, restored to
+    # replicated activations by ONE psum per sublayer (Megatron pattern).
+    # With model_axis=None the same code runs with M=1 and no collectives.
+    tp = spec.model_axis is not None and spec.model_axis_size > 1
+
+    def psum_if_tp(v):
+        return _reduce_from_tp(v, spec.model_axis) if tp else v
+
     rng = dropout_rng
     for block in params["blocks"]:
         # --- attention sublayer (pre-LN) ---
         y = _layer_norm(x, block["ln1"])
-        qkv = _dense(y, block["qkv"], cdt)  # [B, T, 3H]
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        if tp:
+            y = _copy_to_tp(y, spec.model_axis)
+        w_qkv = block["qkv"]["w"]  # [H, 3, H_local]
+        H_local = w_qkv.shape[-1]
+        nh_local = H_local // hd
+        qkv = (
+            jnp.einsum("bth,hcj->btcj", y.astype(cdt), w_qkv.astype(cdt),
+                       preferred_element_type=jnp.float32,
+                       precision=matmul_precision(cdt))
+            + block["qkv"]["b"]
+        )  # [B, T, 3, H_local]
+        q = qkv[:, :, 0].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
         scores = (
             jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), k.astype(cdt),
                        preferred_element_type=jnp.float32,
@@ -172,13 +266,26 @@ def transformer_encode(
         attn = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(cdt), v.astype(cdt),
                           preferred_element_type=jnp.float32,
                           precision=matmul_precision(cdt))
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H)
-        attn = _dense(attn, block["attn_out"], cdt)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H_local)
+        # row-sharded out-projection: partial [B, T, H] per shard -> psum;
+        # the replicated bias is added AFTER the reduction (once)
+        attn = jnp.einsum("btj,jh->bth", attn.astype(cdt),
+                          block["attn_out"]["w"].astype(cdt),
+                          preferred_element_type=jnp.float32,
+                          precision=matmul_precision(cdt))
+        attn = psum_if_tp(attn) + block["attn_out"]["b"]
         attn, rng = maybe_dropout(attn, rng)
         x = x + attn
         # --- FFN sublayer ---
         y = _layer_norm(x, block["ln2"])
-        y = _dense(jax.nn.gelu(_dense(y, block["ffn_in"], cdt)), block["ffn_out"], cdt)
+        if tp:
+            y = _copy_to_tp(y, spec.model_axis)
+        h = jax.nn.gelu(_dense(y, block["ffn_in"], cdt))  # [B, T, F_local]
+        y = jnp.einsum("btf,fh->bth", h.astype(cdt),
+                       block["ffn_out"]["w"].astype(cdt),
+                       preferred_element_type=jnp.float32,
+                       precision=matmul_precision(cdt))
+        y = psum_if_tp(y) + block["ffn_out"]["b"]
         y, rng = maybe_dropout(y, rng)
         x = x + y
 

@@ -32,27 +32,65 @@ from twotowermlretrieval_tpu.train.train_step import (
 )
 
 
-def state_partition_specs(state: TrainState, shard_embedding: bool) -> TrainState:
+def transformer_tp_spec(names, leaf) -> Optional[P]:
+    """Megatron-style PartitionSpec for a transformer block leaf, keyed on
+    the dict path (names) — shared by the TrainState spec builder and the
+    encode-level tests. Returns None for leaves that stay replicated.
+
+    qkv w [H, 3, H] / b [3, H]  -> column-shard heads (last axis)
+    ffn_in w [H, F] / b [F]     -> column-shard FFN width
+    attn_out / ffn_out w        -> row-shard (partial sums psum'd in encode)
+    """
+    ndim = getattr(leaf, "ndim", 0)
+    if "qkv" in names:
+        return P(None, None, MODEL_AXIS) if ndim == 3 else P(None, MODEL_AXIS)
+    if "ffn_in" in names:
+        return P(None, MODEL_AXIS) if ndim == 2 else P(MODEL_AXIS)
+    if ("attn_out" in names or "ffn_out" in names) and ndim == 2:
+        return P(MODEL_AXIS, None)
+    return None
+
+
+def state_partition_specs(
+    state: TrainState, shard_embedding: bool, shard_transformer: bool = False
+) -> TrainState:
     """Per-leaf PartitionSpecs for a TrainState: everything replicated,
-    except [V, E] embedding tables (and their Adam moments, which mirror the
-    param tree) row-sharded over 'model' when requested (BASELINE config 3).
+    except [V, E] embedding tables row-sharded over 'model' when requested
+    (BASELINE config 3) and — for transformer towers with mesh_model > 1 —
+    attention-head/FFN column and row shards (BASELINE config 5). Adam
+    moments mirror the param tree, so the same path rules cover opt_state.
     """
 
     def spec_for(path, leaf) -> P:
-        if not shard_embedding:
-            return P()
         names = {p.key for p in path if isinstance(p, jax.tree_util.DictKey)}
-        if "embedding" in names and getattr(leaf, "ndim", 0) == 2:
+        if shard_embedding and "embedding" in names and getattr(leaf, "ndim", 0) == 2:
             return P(MODEL_AXIS, None)
+        if shard_transformer:
+            tp = transformer_tp_spec(names, leaf)
+            if tp is not None:
+                return tp
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, state)
 
 
-def replicate_state(state: TrainState, mesh: Mesh, shard_embedding: bool = False) -> TrainState:
+def shard_transformer_from_config(config) -> bool:
+    """True when the transformer tower should TP-shard over 'model'."""
+    return (
+        getattr(config, "tower_type", "rnn") == "transformer"
+        and getattr(config, "mesh_model", 1) > 1
+    )
+
+
+def replicate_state(
+    state: TrainState,
+    mesh: Mesh,
+    shard_embedding: bool = False,
+    shard_transformer: bool = False,
+) -> TrainState:
     """Place leaves on the mesh per state_partition_specs (all replicated
-    unless the embedding table is row-sharded)."""
-    specs = state_partition_specs(state, shard_embedding)
+    unless the embedding table / transformer blocks are sharded)."""
+    specs = state_partition_specs(state, shard_embedding, shard_transformer)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
     )
@@ -65,13 +103,31 @@ def _batch_specs(batch_spec=P(DATA_AXIS)):
     return Batch(*([batch_spec] * len(Batch._fields)))
 
 
+def _model_sharded_mask(state_specs):
+    """(model_axis, per-trainable-leaf bool tree) for the grad-clip norm —
+    (None, None) when nothing is sharded over 'model'."""
+    mask = jax.tree.map(
+        lambda s: MODEL_AXIS in tuple(s), state_specs.trainable,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    if any(jax.tree.leaves(mask)):
+        return MODEL_AXIS, mask
+    return None, None
+
+
 def make_distributed_train_step(spec: TwoTowerSpec, config, mesh: Mesh, state: TrainState):
     """shard_map-wrapped train step: (state, data-sharded batch) -> (state,
     replicated metrics). Params/opt-state are replicated except row-sharded
     embedding tables (config.shard_embedding_table). jit-compiled with state
     donation. ``state`` is only used to derive per-leaf specs."""
-    step_fn = make_train_step(spec, config, axis_name=DATA_AXIS)
-    state_specs = state_partition_specs(state, config.shard_embedding_table)
+    state_specs = state_partition_specs(
+        state, config.shard_embedding_table, shard_transformer_from_config(config)
+    )
+    model_axis, model_sharded = _model_sharded_mask(state_specs)
+    step_fn = make_train_step(
+        spec, config, axis_name=DATA_AXIS,
+        model_axis=model_axis, model_sharded=model_sharded,
+    )
     mapped = jax.shard_map(
         step_fn,
         mesh=mesh,
@@ -88,7 +144,9 @@ def make_distributed_eval_step(spec: TwoTowerSpec, config, mesh: Mesh, state: Op
     required when the embedding table is row-sharded."""
     step_fn = make_eval_step(spec, config, axis_name=DATA_AXIS)
     state_specs = (
-        state_partition_specs(state, config.shard_embedding_table)
+        state_partition_specs(
+        state, config.shard_embedding_table, shard_transformer_from_config(config)
+    )
         if state is not None
         else P()
     )
@@ -118,8 +176,14 @@ def make_sharded_packed_train_step(
     function and the batch sharding (ref driver role: backend/main.py:158-313)."""
     from twotowermlretrieval_tpu.data.batching import unpack_batch
 
-    step_fn = make_train_step(spec, config, axis_name=DATA_AXIS)
-    state_specs = state_partition_specs(state, config.shard_embedding_table)
+    state_specs = state_partition_specs(
+        state, config.shard_embedding_table, shard_transformer_from_config(config)
+    )
+    model_axis, model_sharded = _model_sharded_mask(state_specs)
+    step_fn = make_train_step(
+        spec, config, axis_name=DATA_AXIS,
+        model_axis=model_axis, model_sharded=model_sharded,
+    )
 
     def packed_step(st, packed):
         return step_fn(st, unpack_batch(packed, max_query_len))
@@ -141,7 +205,9 @@ def make_sharded_packed_eval_step(
     from twotowermlretrieval_tpu.data.batching import unpack_batch
 
     step_fn = make_eval_step(spec, config, axis_name=DATA_AXIS)
-    state_specs = state_partition_specs(state, config.shard_embedding_table)
+    state_specs = state_partition_specs(
+        state, config.shard_embedding_table, shard_transformer_from_config(config)
+    )
 
     def packed_eval(st, packed):
         return step_fn(st, unpack_batch(packed, max_query_len))

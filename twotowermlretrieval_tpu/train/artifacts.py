@@ -79,6 +79,7 @@ def save_inference_artifacts(
         vocab_size=tokenizer.vocab_size(),
         embed_dim=config.embed_dim,
         shard_embedding_table=False,
+        mesh_model=1,
     )
     enriched.to_json(output_dir / "config.json")
 

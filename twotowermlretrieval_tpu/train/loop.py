@@ -125,19 +125,24 @@ def train(
     spec = TwoTowerSpec.from_config(config)
     # host-side encoding (evaluators, artifact export) always runs
     # single-device on gathered params — never through the sharded lookup
-    host_spec = (
-        TwoTowerSpec.from_config(config.replace(shard_embedding_table=False))
-        if config.shard_embedding_table
-        else spec
+    # or TP collectives
+    host_spec = TwoTowerSpec.from_config(
+        config.replace(shard_embedding_table=False, mesh_model=1)
     )
     rng = jax.random.key(config.seed)
     init_rng, state_rng = jax.random.split(rng)
     params = init_two_tower(init_rng, spec, pretrained_embeddings=table)
     state = create_train_state(state_rng, params, config)
     if mesh is not None:
-        from twotowermlretrieval_tpu.parallel.distributed import replicate_state
+        from twotowermlretrieval_tpu.parallel.distributed import (
+            replicate_state,
+            shard_transformer_from_config,
+        )
 
-        state = replicate_state(state, mesh, config.shard_embedding_table)
+        state = replicate_state(
+            state, mesh, config.shard_embedding_table,
+            shard_transformer_from_config(config),
+        )
 
     logger = MetricLogger(use_wandb=use_wandb, wandb_config=config.to_dict(), run_name=run_name)
     results: Dict[str, Any] = {"run_name": logger.run_name}

@@ -82,11 +82,58 @@ def merge_params(trainable: Dict[str, Any], frozen: Dict[str, Any]) -> Dict[str,
 # ---------------------------------------------------------------------------
 
 
-def make_optimizer(config) -> optax.GradientTransformation:
+def global_norm_sharded(grads, model_axis: Optional[str] = None, model_sharded=None) -> jax.Array:
+    """Global L2 norm of a gradient tree whose leaves may be SHARDED over
+    the 'model' mesh axis (TP weights, row-sharded embeddings). A sharded
+    leaf's squared norm is psum'd over the axis; replicated leaves (whose
+    per-shard grads are identical) count once. Plain optax.global_norm on
+    local slices would give every model shard a different norm — and a
+    different clip scale, silently desynchronizing the replicated params.
+    """
+
+    def leaf_sq(g, sharded=False):
+        s = jnp.sum(jnp.square(g))
+        if model_axis is not None and sharded:
+            s = jax.lax.psum(s, model_axis)
+        return s
+
+    if model_sharded is None:
+        sq = [leaf_sq(g) for g in jax.tree.leaves(grads)]
+    else:
+        sq = jax.tree.leaves(jax.tree.map(leaf_sq, grads, model_sharded))
+    return jnp.sqrt(sum(sq))
+
+
+def clip_by_global_norm_sharded(
+    max_norm: float, model_axis: Optional[str] = None, model_sharded=None
+) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm semantics with the sharding-aware norm
+    (identical to optax's transform when model_axis is None; same EmptyState,
+    so optimizer states are interchangeable)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        gnorm = global_norm_sharded(updates, model_axis, model_sharded)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-16))
+        return jax.tree.map(lambda g: g * scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    config, model_axis: Optional[str] = None, model_sharded=None
+) -> optax.GradientTransformation:
     """clip_by_global_norm(GRAD_CLIP_NORM) -> Adam(LR), matching the
-    reference's clip-then-Adam order (ref: backend/main.py:222, 257)."""
+    reference's clip-then-Adam order (ref: backend/main.py:222, 257).
+    model_axis/model_sharded make the clip norm exact under TP/row
+    sharding (see global_norm_sharded); the opt-state structure does not
+    depend on them."""
     return optax.chain(
-        optax.clip_by_global_norm(config.grad_clip_norm),
+        clip_by_global_norm_sharded(config.grad_clip_norm, model_axis, model_sharded),
         optax.adam(config.lr),
     )
 
@@ -164,15 +211,24 @@ def _forward_and_metrics(
     return loss, metrics
 
 
-def make_train_step(spec: TwoTowerSpec, config, axis_name: Optional[str] = None):
+def make_train_step(
+    spec: TwoTowerSpec,
+    config,
+    axis_name: Optional[str] = None,
+    model_axis: Optional[str] = None,
+    model_sharded=None,
+):
     """Build the pure train-step function.
 
     axis_name=None  -> single-device; wrap with jax.jit.
     axis_name='data'-> SPMD body; wrap with shard_map over the mesh (see
                        parallel.distributed). Gradients and metrics are
                        pmean-reduced; params/opt-state stay replicated.
+    model_axis/model_sharded: per-trainable-leaf bool tree marking leaves
+    sharded over 'model' (TP / row-sharded tables), so the gradient clip
+    and grad_norm use the true global norm.
     """
-    tx = make_optimizer(config)
+    tx = make_optimizer(config, model_axis, model_sharded)
 
     def loss_fn(trainable, frozen, batch, dropout_rng):
         params = merge_params(trainable, frozen)
@@ -201,7 +257,7 @@ def make_train_step(spec: TwoTowerSpec, config, axis_name: Optional[str] = None)
             step=state.step + 1,
             rng=rng,
         )
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = global_norm_sharded(grads, model_axis, model_sharded)
         return new_state, metrics
 
     return train_step
