@@ -275,3 +275,24 @@ def test_profile_trace_writes_files(tmp_path):
             fn(jnp.ones((64, 64))).block_until_ready()
     produced = list((tmp_path / "trace").rglob("*"))
     assert produced, "trace directory is empty"
+
+
+def test_per_leaf_param_stats_logged(setup):
+    """config.log_param_stats adds grad_norm/<leaf> and param_norm/<leaf>
+    to the step metrics (the reference's wandb.watch role,
+    backend/main.py:234); consistent with the scalar grad_norm."""
+    config, tokenizer, spec, params, datasets = setup
+    config = config.replace(log_param_stats=True)
+    state = create_train_state(jax.random.key(1), params, config)
+    step_fn = jax.jit(make_train_step(spec, config))
+    batch = next(iter(_batcher(config, tokenizer, datasets["train"]).batches(seed=0)))
+    _, metrics = step_fn(state, jax.tree.map(jnp.asarray, batch))
+    leaf_keys = [k for k in metrics if k.startswith("grad_norm/")]
+    assert leaf_keys, "no per-leaf grad norms"
+    assert any("w_ih" in k for k in leaf_keys)
+    assert all(float(metrics[k]) >= 0 for k in leaf_keys)
+    # per-leaf squared norms sum to the global grad norm
+    total = np.sqrt(sum(float(metrics[k]) ** 2 for k in leaf_keys))
+    assert total == pytest.approx(float(metrics["grad_norm"]), rel=1e-5)
+    param_keys = [k for k in metrics if k.startswith("param_norm/")]
+    assert len(param_keys) == len(leaf_keys)

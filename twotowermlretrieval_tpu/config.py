@@ -68,6 +68,7 @@ _KEY_TO_FIELD = {
     "CHECKPOINT_EVERY_STEPS": "checkpoint_every_steps",
     "LOG_EVERY_STEPS": "log_every_steps",
     "STEPS_PER_DISPATCH": "steps_per_dispatch",
+    "LOG_PARAM_STATS": "log_param_stats",
 }
 _FIELD_TO_KEY = {v: k for k, v in _KEY_TO_FIELD.items()}
 
@@ -131,6 +132,10 @@ class Config:
     # a round-trip; K > 1 amortizes it. 1 = one step per dispatch.
     steps_per_dispatch: int = 8
     log_every_steps: int = 50
+    # Per-leaf gradient/parameter norms in the metric stream (the role of
+    # the reference's wandb.watch(log_freq=50), ref: backend/main.py:234);
+    # computed on-device in the same fused step program.
+    log_param_stats: bool = True
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:

@@ -211,6 +211,38 @@ def _forward_and_metrics(
     return loss, metrics
 
 
+def _leaf_name(path) -> str:
+    parts = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _add_param_stats(metrics, grads, params, model_axis, model_sharded) -> None:
+    """metrics['grad_norm/<leaf>'] and ['param_norm/<leaf>'] per trainable
+    leaf (wandb.watch parity, ref: backend/main.py:234)."""
+    flat_g = jax.tree_util.tree_flatten_with_path(grads)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    mask = (
+        jax.tree.leaves(model_sharded)
+        if model_sharded is not None
+        else [False] * len(flat_g)
+    )
+    for (path, g), (_, p), sharded in zip(flat_g, flat_p, mask):
+        gs, ps = jnp.sum(jnp.square(g)), jnp.sum(jnp.square(p))
+        if model_axis is not None and sharded:
+            gs = jax.lax.psum(gs, model_axis)
+            ps = jax.lax.psum(ps, model_axis)
+        name = _leaf_name(path)
+        metrics[f"grad_norm/{name}"] = jnp.sqrt(gs)
+        metrics[f"param_norm/{name}"] = jnp.sqrt(ps)
+
+
 def make_train_step(
     spec: TwoTowerSpec,
     config,
@@ -258,6 +290,13 @@ def make_train_step(
             rng=rng,
         )
         metrics["grad_norm"] = global_norm_sharded(grads, model_axis, model_sharded)
+        if getattr(config, "log_param_stats", False):
+            # per-leaf grad/param norms (the reference's wandb.watch role,
+            # ref: backend/main.py:234), fused into the same device program;
+            # model-sharded leaves psum their squared norms for the true value
+            _add_param_stats(
+                metrics, grads, state.trainable, model_axis, model_sharded
+            )
         return new_state, metrics
 
     return train_step
