@@ -35,12 +35,14 @@ class _TorchTower(nn.Module):
     def __init__(self, params, table, rnn_type="GRU"):
         super().__init__()
         self.rnn_type = rnn_type
-        self.embedding = nn.Embedding(VOCAB, EMBED)
+        vocab, embed = table.shape
+        hidden = int(np.asarray(params["projection"]["b"]).shape[0])
+        self.embedding = nn.Embedding(vocab, embed)
         self.embedding.weight.data.copy_(torch.from_numpy(table))
         self.embedding.weight.requires_grad = False
         rnn_cls = getattr(nn, rnn_type)
-        self.rnn = rnn_cls(EMBED, HIDDEN, num_layers=1, batch_first=True, bidirectional=True)
-        self.projection = nn.Linear(2 * HIDDEN, HIDDEN)
+        self.rnn = rnn_cls(embed, hidden, num_layers=1, batch_first=True, bidirectional=True)
+        self.projection = nn.Linear(2 * hidden, hidden)
         layer = params["layers"][0]
         for d_name, suffix in zip(("fwd", "bwd"), ("", "_reverse")):
             p = layer[d_name]
@@ -128,3 +130,113 @@ def test_ten_step_loss_trajectory_matches_torch(rnn_type):
         theirs.append(float(loss))
 
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# full-run quality parity (VERDICT r1 item 3)
+# ---------------------------------------------------------------------------
+
+
+def _torch_encode(tower, tokens, lengths):
+    with torch.no_grad():
+        safe = np.maximum(lengths, 1)  # pack_padded rejects length-0 rows
+        emb = tower(torch.from_numpy(tokens).long(), torch.from_numpy(safe).long())
+    return emb.numpy()
+
+
+def _in_batch_metrics(q_embs, d_embs, top_k=(10,)):
+    """The reference's in-batch protocol (positive at column i,
+    ref: backend/evaluators.py:49-76) on host numpy."""
+    sim = q_embs @ d_embs.T
+    diag = np.diag(sim)
+    ranks = 1 + (sim > diag[:, None]).sum(axis=1)
+    out = {f"Recall@{k}": float((ranks <= k).mean()) for k in top_k}
+    out["MRR"] = float((1.0 / ranks).mean())
+    return out
+
+
+def test_full_run_recall_parity_with_torch_twin(tmp_path):
+    """Train BOTH frameworks to convergence on the same synthetic corpus
+    with identical initial weights and identical batch streams, then
+    compare the in-batch validation Recall@10/MRR. This is the strongest
+    quality-parity evidence available without MS MARCO access: not just
+    matching 10-step loss deltas but matching retrieval quality after a
+    full optimization trajectory (~100 steps, fp drift included)."""
+    from twotowermlretrieval_tpu.data.batching import TripletBatcher
+    from twotowermlretrieval_tpu.data.loader import TripletBuilder
+    from twotowermlretrieval_tpu.data.synthetic import generate_corpus, synthetic_config
+    from twotowermlretrieval_tpu.train.loop import setup
+
+    generate_corpus(tmp_path, num_queries=150, num_topics=10, words_per_topic=15,
+                    embed_dim=16)
+    config = synthetic_config(tmp_path, hidden_dim=16, lr=5e-3, batch_size=16,
+                              dropout=0.0)
+    config = config.replace(num_layers=1, bidirectional=True, loss_type="triplet",
+                            compute_dtype="float32", margin=0.5)
+    config, tokenizer, table = setup(config)
+    datasets = TripletBuilder(config).load_datasets()
+
+    spec = TwoTowerSpec.from_config(config)
+    params = init_two_tower(jax.random.key(0), spec, pretrained_embeddings=table)
+    state = create_train_state(jax.random.key(1), params, config)
+    step_fn = jax.jit(make_train_step(spec, config), donate_argnums=(0,))
+
+    torch.manual_seed(0)
+    torch.set_num_threads(2)
+    q_tower = _TorchTower(params["query"], table, "GRU")
+    d_tower = _TorchTower(params["doc"], table, "GRU")
+    t_params = [p for t in (q_tower, d_tower) for p in t.parameters() if p.requires_grad]
+    opt = torch.optim.Adam(t_params, lr=config.lr)
+
+    batcher = TripletBatcher(datasets["train"], tokenizer, config.batch_size,
+                             config.max_query_len, config.max_doc_len)
+    epochs = 12
+    for epoch in range(epochs):
+        for b in batcher.batches(seed=epoch):
+            dev = jax.tree.map(jnp.asarray, b)
+            state, _ = step_fn(state, dev)
+
+            opt.zero_grad()
+            w = torch.from_numpy(b.example_mask)
+            q_emb = _torch_fwd(q_tower, b.q_tokens, b.q_len)
+            p_emb = _torch_fwd(d_tower, b.pos_tokens, b.pos_len)
+            n_emb = _torch_fwd(d_tower, b.neg_tokens, b.neg_len)
+            per = torch.clamp(
+                F.cosine_similarity(q_emb, n_emb)
+                - F.cosine_similarity(q_emb, p_emb) + config.margin,
+                min=0.0,
+            )
+            loss = (per * w).sum() / torch.clamp(w.sum(), min=1.0)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(t_params, max_norm=config.grad_clip_norm)
+            opt.step()
+
+    # evaluate both on the validation split, reference in-batch protocol
+    val_batcher = TripletBatcher(datasets["validation"], tokenizer, config.batch_size,
+                                 config.max_query_len, config.max_doc_len)
+    from twotowermlretrieval_tpu.models.two_tower import encode_document, encode_query
+    from twotowermlretrieval_tpu.train.train_step import merge_params
+
+    merged = merge_params(state.trainable, state.frozen)
+    jq, jd, tq, td = [], [], [], []
+    for b in val_batcher.batches(seed=None):
+        real = b.example_mask.astype(bool)
+        jq.append(np.asarray(encode_query(merged, jnp.asarray(b.q_tokens),
+                                          jnp.asarray(b.q_len), spec))[real])
+        jd.append(np.asarray(encode_document(merged, jnp.asarray(b.pos_tokens),
+                                             jnp.asarray(b.pos_len), spec))[real])
+        tq.append(_torch_encode(q_tower, b.q_tokens, b.q_len)[real])
+        td.append(_torch_encode(d_tower, b.pos_tokens, b.pos_len)[real])
+
+    ours = _in_batch_metrics(np.concatenate(jq), np.concatenate(jd))
+    theirs = _in_batch_metrics(np.concatenate(tq), np.concatenate(td))
+    # both must have actually learned, and agree within run-to-run variance
+    assert theirs["Recall@10"] > 0.4, theirs
+    assert ours["Recall@10"] > 0.4, ours
+    assert abs(ours["Recall@10"] - theirs["Recall@10"]) <= 0.1, (ours, theirs)
+    assert abs(ours["MRR"] - theirs["MRR"]) <= 0.08, (ours, theirs)
+
+
+def _torch_fwd(tower, tokens, lengths):
+    safe = np.maximum(lengths, 1)
+    return tower(torch.from_numpy(tokens).long(), torch.from_numpy(safe).long())

@@ -134,8 +134,11 @@ class Config:
     log_every_steps: int = 50
     # Per-leaf gradient/parameter norms in the metric stream (the role of
     # the reference's wandb.watch(log_freq=50), ref: backend/main.py:234);
-    # computed on-device in the same fused step program.
-    log_param_stats: bool = True
+    # computed on-device in the same fused step program. Off by default —
+    # the ~2 norms/leaf cost ~20% step time on small towers; train()
+    # enables it when W&B logging is on (mirroring the reference, where
+    # watch() only runs under wandb).
+    log_param_stats: bool = False
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:

@@ -106,6 +106,10 @@ def train(
     profile_dir: Optional[str | Path] = None,
 ) -> Dict[str, Any]:
     config, tokenizer, table = setup(config)
+    if use_wandb and not config.log_param_stats:
+        # wandb.watch parity: per-leaf grad/param norms ride the metric
+        # stream whenever W&B logging is active (ref: backend/main.py:234)
+        config = config.replace(log_param_stats=True)
     mesh = build_mesh(config)
     if mesh is None and config.shard_embedding_table:
         # row-sharding needs a 'model' axis to shard over
