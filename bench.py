@@ -226,7 +226,13 @@ def bench_retrieval():
     import jax
     import jax.numpy as jnp
 
-    from twotowermlretrieval_tpu.ops.topk import fused_topk, fused_topk_int8, quantize_rows
+    from twotowermlretrieval_tpu.ops.topk import (
+        fused_topk,
+        fused_topk_int8,
+        quantize_rows,
+        topk_segmented,
+        topk_segmented_int8,
+    )
 
     N, H, K, B = 1_000_000, 128, 50, 8
     rng = np.random.default_rng(SEED)
@@ -245,10 +251,15 @@ def bench_retrieval():
     @functools.partial(jax.jit, static_argnames=("M", "mode"))
     def chain(q, docs_bf, d_i8, d_s, M, mode):
         def body(acc, _):
-            if mode == "bf16":
-                v, _ = fused_topk((q + acc * 1e-30).astype(jnp.bfloat16), docs_bf, k=K, tile_n=8192)
+            qq = q + acc * 1e-30
+            if mode == "bf16":  # the serving auto-dispatch pick at this size
+                v, _ = topk_segmented(qq.astype(jnp.bfloat16), docs_bf, k=K)
+            elif mode == "int8":
+                v, _ = topk_segmented_int8(qq, d_i8, d_s, k=K)
+            elif mode == "bf16-fused":  # streaming kernel (no [B,N] in HBM)
+                v, _ = fused_topk(qq.astype(jnp.bfloat16), docs_bf, k=K, tile_n=8192)
             else:
-                v, _ = fused_topk_int8(q + acc * 1e-30, d_i8, d_s, k=K, tile_n=8192)
+                v, _ = fused_topk_int8(qq, d_i8, d_s, k=K, tile_n=8192)
             return acc * 0.5 + jnp.sum(v) * 1e-20, None
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=M)
         return acc
@@ -257,7 +268,10 @@ def bench_retrieval():
         float(chain(q, docs_bf, d_i8, d_s, M, mode))
         t0 = time.time(); float(chain(q, docs_bf, d_i8, d_s, M, mode)); return time.time() - t0
 
-    for mode, bytes_per_row in (("bf16", 2 * H), ("int8", H + 4)):
+    for mode, bytes_per_row in (
+        ("bf16", 2 * H), ("int8", H + 4),
+        ("bf16-fused", 2 * H), ("int8-fused", H + 4),
+    ):
         # repeat the short run and take its minimum: through the remote
         # relay a single reference measurement is noisy enough to make the
         # difference go negative

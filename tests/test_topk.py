@@ -166,3 +166,20 @@ def test_int8_index_recall_vs_f32():
         len(set(ref_ids[b]) & set(i8_ids[b])) / 50 for b in range(q.shape[0])
     ])
     assert recall >= 0.9, recall
+
+
+def test_streaming_dispatch_rule():
+    """Auto-dispatch: two-phase XLA when the [B, N] score matrix is cheap
+    (measured 2.2x faster on v5e at serving sizes), streaming Pallas only
+    when it would not fit; explicit flags always win."""
+    import jax
+
+    from twotowermlretrieval_tpu.ops.topk import use_streaming_kernel
+
+    assert use_streaming_kernel(8, 1_000_000, True) is True
+    assert use_streaming_kernel(8, 1_000_000, False) is False
+    on_tpu = jax.default_backend() == "tpu"
+    # 8 * 1M * 4B = 32 MB of scores -> XLA path even on TPU
+    assert use_streaming_kernel(8, 1_000_000, None) is False
+    # 256 * 10M * 4B = 10 GB of scores -> streaming kernel (TPU only)
+    assert use_streaming_kernel(256, 10_000_000, None) is on_tpu

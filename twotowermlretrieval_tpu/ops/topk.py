@@ -35,6 +35,27 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(-3.0e38)  # fits f32; safer than -inf for max/compare chains
 
 
+# Above this many bytes of [B, N] f32 scores, the streaming Pallas kernel
+# (which never materializes them) wins; below it, the two-phase XLA path is
+# ~2.2x faster on v5e (measured at B=8, 1M x 128: segmented 0.62 ms vs
+# fused 1.39 ms bf16; 0.50 vs 1.04 int8 — XLA's pipelined matmul+reduce
+# runs at ~95% of HBM speed-of-light, and the score-matrix round-trip it
+# pays is only B*N*8 bytes vs the N*H corpus pass).
+_SCORES_BYTES_LIMIT = 256 << 20
+
+
+def use_streaming_kernel(B: int, N: int, use_pallas=None) -> bool:
+    """Dispatch rule shared by the serving index and the sharded search:
+    True -> fused Pallas streaming kernel, False -> two-phase XLA.
+    ``use_pallas``: None = auto (TPU only, large score matrices only),
+    True/False = forced."""
+    if use_pallas is not None:
+        return bool(use_pallas)
+    if jax.default_backend() != "tpu":
+        return False
+    return B * N * 4 > _SCORES_BYTES_LIMIT
+
+
 def topk_oracle(queries: jax.Array, docs: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k by full matmul + lax.top_k. [B,H]x[N,H] -> ([B,k],[B,k])."""
     scores = jnp.dot(

@@ -25,6 +25,7 @@ from twotowermlretrieval_tpu.ops.topk import (
     quantize_rows,
     topk_segmented,
     topk_segmented_int8,
+    use_streaming_kernel,
 )
 from twotowermlretrieval_tpu.parallel.mesh import DATA_AXIS
 
@@ -113,8 +114,8 @@ def distributed_topk(
     """Exact top-k over the sharded corpus. Returns replicated
     ([B, k] values, [B, k] global ids). ``n_valid`` is the true corpus size
     when the sharded array carries zero-padding rows (shard_corpus)."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    shard_rows = docs_sharded.shape[0] // mesh.shape[DATA_AXIS]
+    use_pallas = use_streaming_kernel(queries.shape[0], shard_rows, use_pallas)
     if n_valid is None:
         n_valid = docs_sharded.shape[0]
     fn = _compiled_topk(mesh, k, use_pallas, interpret, quantized=False)
@@ -134,8 +135,8 @@ def distributed_topk_int8(
     """int8 row-quantized variant of :func:`distributed_topk`: each shard
     scans its quantized rows (half the HBM traffic of bf16), then the same
     O(D*k) cross-shard merge."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    shard_rows = doc_values.shape[0] // mesh.shape[DATA_AXIS]
+    use_pallas = use_streaming_kernel(queries.shape[0], shard_rows, use_pallas)
     if n_valid is None:
         n_valid = doc_values.shape[0]
     fn = _compiled_topk(mesh, k, use_pallas, interpret, quantized=True)

@@ -31,6 +31,7 @@ from twotowermlretrieval_tpu.ops.topk import (
     quantize_rows,
     topk_segmented,
     topk_segmented_int8,
+    use_streaming_kernel,
 )
 
 _SUBLANE = 8  # pad query batches to a VPU-friendly multiple
@@ -53,8 +54,10 @@ class RetrievalIndex:
         self.dim = int(doc_embeddings.shape[1])
         self.mesh = mesh
         self.interpret = interpret
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+        # None = auto-dispatch per search: the two-phase XLA path when the
+        # [B, N] score matrix is cheap (~2.2x faster on v5e at serving
+        # sizes), the streaming Pallas kernel when it would not fit
+        # (ops.topk.use_streaming_kernel). True/False forces one path.
         self.use_pallas = use_pallas
         # 'ivf': approximate index for beyond-1M-doc corpora (ops/ivf.py);
         # storage may be f32/bf16/int8 (per-slot quantization). A prebuilt
@@ -131,7 +134,7 @@ class RetrievalIndex:
                     n_valid=self._n_valid, use_pallas=self.use_pallas,
                     interpret=self.interpret,
                 )
-            elif self.use_pallas:
+            elif use_streaming_kernel(qj.shape[0], self._docs.shape[0], self.use_pallas):
                 vals, ids = fused_topk_int8(
                     qj, self._docs, self._scales, k=k, interpret=self.interpret
                 )
@@ -148,7 +151,7 @@ class RetrievalIndex:
                 qj, self._docs, k=k, mesh=self.mesh, n_valid=self._n_valid,
                 use_pallas=self.use_pallas, interpret=self.interpret,
             )
-        elif self.use_pallas:
+        elif use_streaming_kernel(qj.shape[0], self._docs.shape[0], self.use_pallas):
             vals, ids = fused_topk(qj, self._docs, k=k, interpret=self.interpret)
         else:
             vals, ids = topk_segmented(qj, self._docs, k=k)
