@@ -526,3 +526,52 @@ def test_initialize_multihost_calls_jax_distributed(monkeypatch):
 
     monkeypatch.setattr(jax.distributed, "initialize", raise_already)
     mesh_mod.initialize_multihost()  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# distributed IVF
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("storage", ["float32", "int8"])
+def test_distributed_ivf_matches_single_device(storage):
+    """Block-sharded IVF over the mesh == single-device ivf_search at the
+    same nprobe (the probe list is computed globally from replicated
+    centroids, so semantics are identical up to tie order)."""
+    from twotowermlretrieval_tpu.ops.ivf import build_ivf, ivf_search
+    from twotowermlretrieval_tpu.parallel.ivf import distributed_ivf_search, shard_ivf
+
+    rng = np.random.default_rng(13)
+    docs = rng.standard_normal((3000, 32)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    index = build_ivf(docs, num_clusters=24, iters=4, storage_dtype=storage)
+
+    sv, si = ivf_search(jnp.asarray(q), index, k=10, nprobe=8)
+    mesh = make_mesh(data=8, model=1)
+    sharded = shard_ivf(index, mesh)
+    dv, di = distributed_ivf_search(jnp.asarray(q), sharded, k=10, nprobe=8, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(sv), rtol=1e-5, atol=1e-6)
+    assert (np.asarray(di) == np.asarray(si)).mean() > 0.95  # ties may reorder
+
+
+def test_retrieval_index_ivf_on_mesh():
+    """RetrievalIndex(index_type='ivf', mesh=...) — the round-1
+    NotImplementedError composition gap — now routes through the
+    distributed IVF search and matches the local IVF index."""
+    from twotowermlretrieval_tpu.serve.index import RetrievalIndex
+
+    rng = np.random.default_rng(14)
+    docs = rng.standard_normal((2000, 32)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = docs[:3] + 0.01 * rng.standard_normal((3, 32)).astype(np.float32)
+
+    local = RetrievalIndex(docs, use_pallas=False, index_type="ivf",
+                           num_clusters=16, nprobe=16)
+    mesh = make_mesh(data=8, model=1)
+    dist = RetrievalIndex(docs, use_pallas=False, index_type="ivf",
+                          num_clusters=16, nprobe=16, mesh=mesh)
+    lv, li = local.search(q, k=5)
+    dv, di = dist.search(q, k=5)
+    np.testing.assert_allclose(dv, lv, rtol=1e-5, atol=1e-6)
+    assert (di == li).mean() > 0.9

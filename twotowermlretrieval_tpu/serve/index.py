@@ -62,15 +62,14 @@ class RetrievalIndex:
         # 'ivf': approximate index for beyond-1M-doc corpora (ops/ivf.py);
         # storage may be f32/bf16/int8 (per-slot quantization). A prebuilt
         # index (exported with the artifacts, ops.ivf.save_ivf) skips the
-        # k-means entirely on server cold start.
+        # k-means entirely on server cold start. With a mesh the blocks are
+        # row-sharded over 'data' and searches run through
+        # parallel.ivf.distributed_ivf_search (same probe semantics).
         self.ivf = None
+        self.ivf_sharded = None
         if ivf_index is not None:
             index_type = "ivf"
         if index_type == "ivf":
-            if mesh is not None:
-                raise NotImplementedError(
-                    "ivf is a single-device index; use the exact sharded scan on a mesh"
-                )
             if ivf_index is None:
                 from twotowermlretrieval_tpu.ops.ivf import build_ivf
 
@@ -78,9 +77,15 @@ class RetrievalIndex:
                     np.asarray(doc_embeddings, np.float32),
                     num_clusters=num_clusters, storage_dtype=storage_dtype,
                 )
-            self.ivf = ivf_index
+            if mesh is not None:
+                from twotowermlretrieval_tpu.parallel.ivf import shard_ivf
+
+                # blocks live sharded on the mesh; no local device copy
+                self.ivf_sharded = shard_ivf(ivf_index, mesh)
+            else:
+                self.ivf = ivf_index
             self.nprobe = nprobe
-            self.quantized = self.ivf.scales is not None
+            self.quantized = ivf_index.scales is not None
             self._n_valid = self.num_docs
             return
         # 'int8' row-quantizes the corpus (ops.topk.quantize_rows): 2x less
@@ -119,6 +124,14 @@ class RetrievalIndex:
         pad = (-B) % _SUBLANE
         if pad:
             q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)], axis=0)
+        if self.ivf_sharded is not None:
+            from twotowermlretrieval_tpu.parallel.ivf import distributed_ivf_search
+
+            vals, ids = distributed_ivf_search(
+                jnp.asarray(q), self.ivf_sharded, k=k, nprobe=self.nprobe,
+                mesh=self.mesh,
+            )
+            return np.asarray(vals)[:B], np.asarray(ids)[:B]
         if self.ivf is not None:
             from twotowermlretrieval_tpu.ops.ivf import ivf_search
 
