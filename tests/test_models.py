@@ -406,3 +406,28 @@ def test_transformer_init_any_depth(num_layers):
     tokens, lengths = _batch(np.random.default_rng(0))
     out = transformer_encode(params, tokens, lengths, spec)
     assert out.shape == (4, 16) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_transformer_legacy_qkv_layout_still_loads():
+    """Round-1 checkpoints store qkv as [H, 3H]/[3H]; the encoder migrates
+    them on the fly and produces identical embeddings (r2 review)."""
+    from twotowermlretrieval_tpu.models.transformer import (
+        TransformerSpec,
+        init_transformer_encoder,
+        transformer_encode,
+    )
+
+    spec = TransformerSpec(
+        vocab_size=50, embed_dim=8, hidden_dim=16, num_layers=2, num_heads=2,
+        ffn_dim=32, compute_dtype="float32", max_len=16,
+    )
+    params = init_transformer_encoder(jax.random.key(3), spec)
+    legacy = jax.tree.map(lambda x: x, params)  # shallow copy of the tree
+    legacy["blocks"] = tuple(
+        {**b, "qkv": {"w": b["qkv"]["w"].reshape(16, 48), "b": b["qkv"]["b"].reshape(48)}}
+        for b in params["blocks"]
+    )
+    tokens, lengths = _batch(np.random.default_rng(16))
+    new = transformer_encode(params, tokens, lengths, spec)
+    old = transformer_encode(legacy, tokens, lengths, spec)
+    np.testing.assert_array_equal(np.asarray(new), np.asarray(old))

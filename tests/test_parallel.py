@@ -575,3 +575,22 @@ def test_retrieval_index_ivf_on_mesh():
     dv, di = dist.search(q, k=5)
     np.testing.assert_allclose(dv, lv, rtol=1e-5, atol=1e-6)
     assert (di == li).mean() > 0.9
+
+
+def test_distributed_ivf_pads_when_k_exceeds_probed():
+    """k larger than the probed candidate pool must pad to [B, k] with
+    -1 ids, matching the single-device ivf_search contract (r2 review)."""
+    from twotowermlretrieval_tpu.ops.ivf import build_ivf
+    from twotowermlretrieval_tpu.parallel.ivf import distributed_ivf_search, shard_ivf
+
+    rng = np.random.default_rng(15)
+    docs = rng.standard_normal((1024, 16)).astype(np.float32)
+    index = build_ivf(docs, num_clusters=8, iters=2)  # cap 128
+    mesh = make_mesh(data=8, model=1)
+    sharded = shard_ivf(index, mesh)
+    k = 300  # > nprobe(1) * cap(128); also > D * k_local
+    vals, ids = distributed_ivf_search(jnp.asarray(docs[:2]), sharded, k=k, nprobe=1, mesh=mesh)
+    assert vals.shape == (2, k) and ids.shape == (2, k)
+    assert (np.asarray(ids)[:, -1] == -1).all()  # padded tail
+    real = np.asarray(ids)[0] >= 0
+    assert real.sum() >= 100  # the one probed block's real docs survived

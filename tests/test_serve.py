@@ -296,21 +296,25 @@ def test_engine_ivf_cold_start_uses_prebuilt_index(artifacts_dir, tmp_path, monk
 
 
 def test_engine_warmup_compiles_before_first_request(artifacts_dir):
-    """batch_window_ms > 0 implies warmup: the constructor itself runs one
-    dense search so followers never wait out a first-request compile
-    (ADVICE r1)."""
+    """batch_window_ms > 0 implies warmup: the constructor compiles EVERY
+    micro-batch bucket so no burst width hits a cold executable
+    (ADVICE r1 + r2 review)."""
     from twotowermlretrieval_tpu.serve.engine import SearchEngine
 
     calls = []
-    orig = SearchEngine._dense_search
+    orig = SearchEngine._dense_batch
 
     class Probe(SearchEngine):
-        def _dense_search(self, query, fanout):
-            calls.append(query)
-            return orig(self, query, fanout)
+        def _dense_batch(self, requests):
+            calls.append(len(requests))
+            return orig(self, requests)
 
     Probe(artifacts_dir, use_pallas=False, batch_window_ms=5.0)
-    assert calls == ["warmup"]
+    assert calls == list(SearchEngine._BATCH_BUCKETS)
+    # and warmup can be forced off
+    calls.clear()
+    Probe(artifacts_dir, use_pallas=False, batch_window_ms=5.0, warmup=False)
+    assert calls == []
 
 
 def test_micro_batch_bucketing_pads_request_count(artifacts_dir):
@@ -331,3 +335,25 @@ def test_micro_batch_bucketing_pads_request_count(artifacts_dir):
     results = engine._dense_batch(reqs)
     assert len(results) == 5
     assert seen == [8]  # 5 requests -> 8-wide bucket
+
+
+def test_hybrid_search_drops_ivf_padding_ids(artifacts_dir, tmp_path):
+    """IVF can return -1 sentinel ids (score -3e38) when fewer than fanout
+    real docs are probed; the hybrid blend must drop them instead of
+    wrapping -1 to the last corpus document (r2 review finding)."""
+    import shutil
+
+    import numpy as np
+
+    from twotowermlretrieval_tpu.ops.ivf import IVF_INDEX_FILE, build_ivf, save_ivf
+    from twotowermlretrieval_tpu.serve.engine import SearchEngine
+
+    art = tmp_path / "art_pad"
+    shutil.copytree(artifacts_dir, art)
+    doc_embeddings = np.load(art / "document_embeddings.npy")
+    # many tiny clusters + nprobe=1 -> one probed 128-cap block < fanout 50
+    save_ivf(art / IVF_INDEX_FILE, build_ivf(doc_embeddings, num_clusters=64))
+    engine = SearchEngine(art, use_pallas=False, index_type="ivf", nprobe=1)
+    out = engine.search("t0w1 t0w2", alpha=1.0, top_k=10, fanout=50)
+    for r in out["results"]:
+        assert r["dense_score"] > -1e30, r  # no sentinel leaked through

@@ -244,13 +244,19 @@ def transformer_encode(
         if tp:
             y = _copy_to_tp(y, spec.model_axis)
         w_qkv = block["qkv"]["w"]  # [H, 3, H_local]
+        b_qkv = block["qkv"]["b"]
+        if w_qkv.ndim == 2:
+            # legacy checkpoint layout [H, 3H]/[3H] (pre-head-major);
+            # columns were ordered q|k|v, so the reshape is the migration
+            w_qkv = w_qkv.reshape(w_qkv.shape[0], 3, w_qkv.shape[1] // 3)
+            b_qkv = b_qkv.reshape(3, -1)
         H_local = w_qkv.shape[-1]
         nh_local = H_local // hd
         qkv = (
             jnp.einsum("bth,hcj->btcj", y.astype(cdt), w_qkv.astype(cdt),
                        preferred_element_type=jnp.float32,
                        precision=matmul_precision(cdt))
-            + block["qkv"]["b"]
+            + b_qkv
         )  # [B, T, 3, H_local]
         q = qkv[:, :, 0].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
         k = qkv[:, :, 1].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)

@@ -115,11 +115,21 @@ def _compiled_ivf_search(mesh: Mesh, k: int, nprobe: int, n_blocks: int, quantiz
         vals, pos = jax.lax.top_k(scores, k_local)
         ids = jnp.take_along_axis(flat_ids, pos, axis=1)  # ORIGINAL doc ids
 
-        # O(D * k) cross-shard merge, identical to the exact scan's
+        # O(D * k) cross-shard merge, identical to the exact scan's;
+        # fewer than k probed candidates pad out to the promised [B, k]
+        # (the single-device ivf_search contract, ops/ivf.py)
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
         all_ids = jax.lax.all_gather(ids, DATA_AXIS, axis=1, tiled=True)
-        merged_vals, mpos = jax.lax.top_k(all_vals, k)
+        k_merge = min(k, all_vals.shape[1])
+        merged_vals, mpos = jax.lax.top_k(all_vals, k_merge)
         merged_ids = jnp.take_along_axis(all_ids, mpos, axis=1)
+        if k_merge < k:
+            merged_vals = jnp.pad(
+                merged_vals, ((0, 0), (0, k - k_merge)), constant_values=NEG_INF
+            )
+            merged_ids = jnp.pad(
+                merged_ids, ((0, 0), (0, k - k_merge)), constant_values=-1
+            )
         merged_ids = jnp.where(merged_vals <= NEG_INF, -1, merged_ids)
         return merged_vals, merged_ids
 

@@ -123,9 +123,11 @@ def main():
                              "at startup")
     parser.add_argument("--nprobe", type=int, default=16,
                         help="ivf probe width (recall/latency trade-off)")
-    parser.add_argument("--warmup", action="store_true",
+    parser.add_argument("--warmup", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="compile the search path before accepting "
-                             "requests (implied by --batch-window-ms > 0)")
+                             "requests (default: on when --batch-window-ms "
+                             "> 0; --no-warmup forces off)")
     args = parser.parse_args()
     serve(
         args.artifacts, port=args.port, host=args.host,
@@ -133,7 +135,7 @@ def main():
         storage_dtype=args.storage_dtype,
         index_type=args.index_type,
         nprobe=args.nprobe,
-        warmup=args.warmup or None,
+        warmup=args.warmup,
     ).serve_forever()
 
 

@@ -118,8 +118,12 @@ class SearchEngine:
         # Compile the dense search path before serving: the first search
         # otherwise pays XLA compilation (6-60 s through a remote relay),
         # which can starve micro-batch followers past their wait deadline.
-        if warmup if warmup is not None else batch_window_ms > 0:
-            self._dense_search("warmup", fanout=50)
+        # Every micro-batch bucket is warmed — a burst wider than the
+        # smallest bucket would otherwise still hit a cold executable.
+        warmup = warmup if warmup is not None else batch_window_ms > 0
+        if warmup:
+            for bucket in self._BATCH_BUCKETS:
+                self._dense_batch([{"query": "warmup", "fanout": 50}] * bucket)
 
     # Micro-batch sizes are bucketed so each concurrency level does not
     # compile a fresh query-tower executable (the index pads internally;
@@ -202,6 +206,12 @@ class SearchEngine:
     def _hybrid_search(self, query: str, alpha: float, top_k: int, fanout: int) -> List[Dict]:
         """Dense top-fanout + TF-IDF re-rank (ref: frontend/main.py:149-198)."""
         dense_scores, doc_ids = self._dense_search(query, fanout)
+        # IVF paths pad with id -1 (score -3e38) when fewer than fanout real
+        # docs were probed; -1 would otherwise wrap to the LAST document
+        valid = doc_ids >= 0
+        dense_scores, doc_ids = dense_scores[valid], doc_ids[valid]
+        if doc_ids.size == 0:
+            return []
 
         query_tfidf = self.tfidf_vectorizer.transform([query])
         if query_tfidf.nnz > 0:
