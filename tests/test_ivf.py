@@ -107,3 +107,18 @@ def test_ivf_persistence_roundtrip(corpus, tmp_path):
         v2, i2 = ivf_search(jnp.asarray(queries), loaded, k=10, nprobe=8)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+def test_sampled_kmeans_recall(corpus):
+    """Lloyd iterations on a corpus sample (the large-corpus build path)
+    must still produce a valid partition with near-full recall."""
+    docs, queries = corpus
+    index = build_ivf(docs, num_clusters=64, iters=8, kmeans_sample=2000)
+    ids = np.asarray(index.ids)
+    real = ids[ids >= 0]
+    assert len(real) == len(docs) and len(set(real.tolist())) == len(docs)
+    av, ai = ivf_search(jnp.asarray(queries), index, k=10, nprobe=16)
+    _, ei = topk_oracle(jnp.asarray(queries), jnp.asarray(docs), 10)
+    ai, ei = np.asarray(ai), np.asarray(ei)
+    recall = np.mean([len(set(ai[b]) & set(ei[b])) / 10 for b in range(len(ai))])
+    assert recall >= 0.85, recall

@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--clusters", type=int, default=0,
                         help="0 = sqrt(N) heuristic")
     parser.add_argument("--iters", type=int, default=10, help="Lloyd iterations")
+    parser.add_argument("--kmeans-sample", type=int, default=0,
+                        help=">0: run Lloyd iterations on this many sampled "
+                             "rows (recommended ~262144 for N >> 1M)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -51,6 +54,7 @@ def main():
         iters=args.iters,
         storage_dtype=args.storage_dtype,
         seed=args.seed,
+        kmeans_sample=args.kmeans_sample,
     )
     out = art / IVF_INDEX_FILE
     save_ivf(out, index)

@@ -50,11 +50,19 @@ _KMEANS_CHUNK = 131072  # bounds the [chunk, C] score tile to ~0.5-1 GB
 
 
 def _pad_to_chunks(docs: jax.Array):
+    """Reshape [N, H] into [num_chunks, chunk, H] for the Lloyd scan.
+
+    The chunk width is capped by _KMEANS_CHUNK AND chosen so the scan runs
+    at least ~4 iterations: XLA fully unrolls 1-2-step scans and the
+    unrolled segment_sum fusion is pathologically slow on TPU (measured
+    16 s/iteration for a length-2 scan vs 0.3 s for the same data as 4+
+    chunks on v5e)."""
     N = docs.shape[0]
-    pad = (-N) % _KMEANS_CHUNK
+    chunk = min(_KMEANS_CHUNK, max(128, (-(-N // 4) + 127) // 128 * 128))
+    pad = (-N) % chunk
     if pad:
         docs = jnp.concatenate([docs, jnp.zeros((pad, docs.shape[1]), docs.dtype)])
-    return docs.reshape(-1, _KMEANS_CHUNK, docs.shape[1])
+    return docs.reshape(-1, chunk, docs.shape[1])
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
@@ -108,18 +116,33 @@ def build_ivf(
     iters: int = 10,
     storage_dtype: str = "bfloat16",
     seed: int = 0,
+    kmeans_sample: int = 0,  # >0: Lloyd iterations run on <= this many rows
 ) -> IVFIndex:
     """Cluster the corpus and reorder it into dense [C, cap, H] blocks.
     storage_dtype 'int8' row-quantizes each packed slot (scale = max|row|/127,
-    kept in ``scales``) — half the probe gather traffic of bf16."""
+    kept in ``scales``) — half the probe gather traffic of bf16.
+
+    ``kmeans_sample > 0`` runs the Lloyd iterations on a uniform sample (the
+    standard large-corpus recipe — centroid quality converges long before
+    the full corpus is needed, and each Lloyd pass costs N·C·H FLOPs); only
+    the final assignment scans every row. Worth it for N >> 1M on
+    co-located hardware; the default clusters on all rows (on a
+    remote-attached chip the extra program compile outweighs the saved
+    device time at 1M scale — docs/RESULTS.md).
+    """
     x = np.asarray(doc_embeddings, np.float32)
     N, H = x.shape
     if not num_clusters:
         num_clusters = max(8, int(round(np.sqrt(N) / 8)) * 8)
     num_clusters = min(num_clusters, N)
 
-    chunked = _pad_to_chunks(jnp.asarray(x))  # chunk ONCE for kmeans + assignment
-    centroids = _kmeans(chunked, N, num_clusters, iters, seed)
+    if kmeans_sample and N > kmeans_sample:
+        sample_idx = np.random.default_rng(seed).choice(N, kmeans_sample, replace=False)
+        train_rows, n_train = x[sample_idx], kmeans_sample
+    else:
+        train_rows, n_train = x, N
+    centroids = _kmeans(_pad_to_chunks(jnp.asarray(train_rows)), n_train, num_clusters, iters, seed)
+    chunked = _pad_to_chunks(jnp.asarray(x))
     assign = np.concatenate(
         [np.asarray(_assign_chunk(c, centroids)) for c in chunked]
     )[:N]
