@@ -190,3 +190,55 @@ def test_bucketed_batcher_deterministic(tok):
     a = [(b.pos_tokens.shape, b.q_tokens.tobytes()) for b in batcher.batches(seed=5)]
     b2 = [(b.pos_tokens.shape, b.q_tokens.tobytes()) for b in batcher.batches(seed=5)]
     assert a == b2
+
+
+def test_bucket_edges_always_include_max_doc_len():
+    """User bucket edges beyond max_doc_len must neither drop the
+    full-width bucket nor truncate documents (r2 review: edges=[256] with
+    max_doc_len=128 previously produced ZERO batches)."""
+    from twotowermlretrieval_tpu.data.batching import TripletBatcher
+    from twotowermlretrieval_tpu.tokenizer import Tokenizer
+
+    tok = Tokenizer({"a": 0, "b": 1, "c": 2})
+    triplets = [("a b", "a b c " * 30, "b c " * 45)] * 8
+    for buckets in ([256], [32, 256], [128], [32, 64], None):
+        b = TripletBatcher(triplets, tok, batch_size=4, max_query_len=8,
+                           max_doc_len=128, length_buckets=buckets)
+        assert b.bucket_edges[-1] == 128, (buckets, b.bucket_edges)
+        batches = list(b.batches(seed=0))
+        assert len(batches) == 2, (buckets, len(batches))
+        # the long docs (>64 tokens) ride the full-width bucket untruncated
+        assert max(x.pos_tokens.shape[1] for x in batches) == 128
+
+
+def test_single_query_split_does_not_hang():
+    """A split reduced to ONE valid query has no cross-query negatives;
+    the rejection sampler must skip the row instead of spinning forever
+    (r2 review)."""
+    import pandas as pd
+
+    from twotowermlretrieval_tpu.config import Config
+    from twotowermlretrieval_tpu.data.loader import TripletBuilder
+
+    df = pd.DataFrame({
+        "query": ["only query"],
+        "passages": [{"passage_text": ["only passage", "another passage"]}],
+    })
+    for mode in ("retrieval", "ranking"):
+        builder = TripletBuilder(Config(training_mode=mode))
+        if mode == "ranking":
+            df2 = df.copy()
+            df2["passages"] = [{
+                "passage_text": ["only passage", "another"],
+                "is_selected": [1, 1],  # no same-query negatives either
+            }]
+        else:
+            df2 = df
+        out = builder.process_dataframe(df2, seed=42) if hasattr(builder, "process_dataframe") else None
+        if out is None:
+            import tempfile
+            from pathlib import Path
+            p = Path(tempfile.mkdtemp()) / "one.parquet"
+            df2.to_parquet(p)
+            out = builder.load_and_process_parquet(str(p))
+        assert out == []  # skipped, not hung

@@ -296,3 +296,20 @@ def test_per_leaf_param_stats_logged(setup):
     assert total == pytest.approx(float(metrics["grad_norm"]), rel=1e-5)
     param_keys = [k for k in metrics if k.startswith("param_norm/")]
     assert len(param_keys) == len(leaf_keys)
+
+
+def test_corrupt_position_file_resumes_with_warning(setup, tmp_path, capsys):
+    """A torn data-position JSON must not silently resume from epoch 0
+    without notice (r2 review): restore returns {} plus a warning."""
+    from twotowermlretrieval_tpu.train.checkpoint import CheckpointManager
+
+    config, tokenizer, spec, params, datasets = setup
+    state = create_train_state(jax.random.key(1), params, config)
+    ckpt = CheckpointManager(tmp_path / "c")
+    ckpt.save(state, {"epoch": 1, "batch_index": 5})
+    # tear the position file
+    pos = tmp_path / "c" / f"step_{int(state.step):08d}.position.json"
+    pos.write_text('{"epoch": 1, "batch')
+    restored, position = ckpt.restore(state)
+    assert position == {}
+    assert "corrupt data-position" in capsys.readouterr().out

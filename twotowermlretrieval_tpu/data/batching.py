@@ -76,10 +76,11 @@ class TripletBatcher:
         self.neg_tokens, self.neg_len = tokenizer.encode_batch(negatives, max_doc_len)
 
         if length_buckets:
-            edges = sorted(set(int(e) for e in length_buckets))
-            if edges[-1] < max_doc_len:
-                edges.append(max_doc_len)
-            self.bucket_edges = [e for e in edges if e <= max_doc_len]
+            # user edges strictly inside (0, max_doc_len); the terminal
+            # bucket is ALWAYS max_doc_len, so oversized/duplicate edges
+            # can neither drop the full-width bucket nor truncate docs
+            edges = sorted({int(e) for e in length_buckets if 0 < int(e) < max_doc_len})
+            self.bucket_edges = edges + [max_doc_len]
         else:
             self.bucket_edges = [max_doc_len]
         eff_len = np.maximum(self.pos_len, self.neg_len)
@@ -139,33 +140,6 @@ class TripletBatcher:
             neg_len=self.neg_len[idx],
             example_mask=mask,
         )
-
-
-def prefetch_to_device(iterator: Iterator[Batch], size: int = 2, sharding=None):
-    """Overlap host batch prep + H2D copies with device compute.
-
-    Keeps ``size`` batches in flight via ``jax.device_put`` (async under the
-    hood). With a ``NamedSharding`` this also performs the batch-split across
-    the 'data' mesh axis. TPU-native analogue of torch's worker prefetch
-    (ref: backend/main.py:206-212).
-    """
-    import collections
-
-    import jax
-
-    queue: collections.deque = collections.deque()
-
-    def put(batch: Batch):
-        if sharding is not None:
-            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-        return jax.tree.map(jax.device_put, batch)
-
-    for batch in iterator:
-        queue.append(put(batch))
-        if len(queue) >= size:
-            yield queue.popleft()
-    while queue:
-        yield queue.popleft()
 
 
 def pack_batch(batch: Batch) -> np.ndarray:

@@ -133,6 +133,7 @@ class TripletBuilder:
         all_passages = [
             (idx, p) for idx, plist in passage_lists.items() for p in plist
         ]
+        passage_rows = {row for row, _ in all_passages}
 
         seed = _split_seed(path)
         rng = random.Random(seed)
@@ -147,6 +148,11 @@ class TripletBuilder:
             if self.training_mode == "retrieval":
                 # All passages are positives; negative = any other query's
                 # passage, rejection-sampled (ref: data_loader.py:57-70).
+                # Guard: if EVERY pooled passage belongs to this row (a
+                # split reduced to one valid query), the rejection loop
+                # could never exit — skip the row instead of hanging.
+                if passage_rows == {idx}:
+                    continue
                 num_pos = min(self.num_triplets_per_query, len(passages))
                 pos_indices = random.Random(seed + idx).sample(range(len(passages)), num_pos)
                 for i in pos_indices:
@@ -170,11 +176,13 @@ class TripletBuilder:
                     positive = passages[pos_idx]
                     if negative_indices:
                         negative = passages[rng.choice(negative_indices)]
-                    else:
+                    elif passage_rows != {idx}:
                         while True:
                             neg_row, negative = rng.choice(all_passages)
                             if neg_row != idx:
                                 break
+                    else:  # no same-query negatives AND no other rows
+                        continue
                     triplets.append((query, positive, negative))
 
         return triplets

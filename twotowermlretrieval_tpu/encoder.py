@@ -46,7 +46,10 @@ class TextEncoder:
         max_query_len: int = 32,
         max_doc_len: int = 128,
     ):
-        self.params = params
+        # Commit params to device ONCE: host-numpy trees (the artifact load
+        # path) would otherwise re-upload every weight — including the
+        # [V, E] embedding tables — on every jitted dispatch.
+        self.params = jax.tree.map(jnp.asarray, params)
         self.spec = spec
         self.tokenizer = tokenizer
         self.batch_size = batch_size

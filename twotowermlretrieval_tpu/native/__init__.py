@@ -32,12 +32,18 @@ def _build() -> Path:
     so_path = _CACHE_DIR / f"tokenizer_{tag}.so"
     if so_path.exists():
         return so_path
+    # per-process temp name: two processes building concurrently must not
+    # interleave writes into one .tmp and publish a corrupt .so forever
+    tmp_path = so_path.with_suffix(f".tmp.{os.getpid()}")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fopenmp", str(_SRC), "-o", str(so_path) + ".tmp",
+        "-fopenmp", str(_SRC), "-o", str(tmp_path),
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(str(so_path) + ".tmp", so_path)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp_path, so_path)  # atomic publish
+    finally:
+        tmp_path.unlink(missing_ok=True)
     return so_path
 
 

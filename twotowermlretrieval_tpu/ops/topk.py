@@ -261,6 +261,218 @@ def fused_topk(
 
 
 # ---------------------------------------------------------------------------
+# Segment-max streaming kernel (the primary TPU path)
+# ---------------------------------------------------------------------------
+
+_SEG = 128  # covering-segment width == one lane group / MXU tile edge
+
+
+def _segmax_kernel(n_valid_ref, q_ref, d_ref, out_ref, *, tile_n, precision):
+    """Phase 1: per-128-row segment maxima of the score matrix, streamed.
+
+    TRANSPOSED layout on purpose: scores are computed as [tile_n, B]
+    (docs-major) so each 128-row covering segment is a SUBLANE group —
+    the reshape+max below is layout-preserving and runs at the pipeline
+    floor (~795 GB/s measured). The B-major orientation needs a cross-lane
+    relayout per tile that costs ~4x the whole corpus pass. Only
+    [S, B] = N/128 * B floats ever reach HBM (vs [B, N] for the two-phase
+    XLA path), so this kernel scales to any batch/corpus product."""
+    step = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        d_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [tile_n, B]
+    # mask padding rows (>= n_valid) so a boundary segment's max is real
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + step * tile_n
+    scores = jnp.where(row_ids < n_valid_ref[0], scores, NEG_INF)
+    out_ref[:] = jnp.max(
+        scores.reshape(tile_n // _SEG, _SEG, scores.shape[1]), axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def fused_topk_segmax(
+    queries: jax.Array,  # [B, H]
+    docs: jax.Array,  # [N, H] — scored in its storage dtype
+    k: int = 50,
+    tile_n: int = 8192,
+    interpret: bool = False,
+    n_valid=None,  # true corpus size when docs already carries padding rows
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k: streamed segment maxima (Pallas, phase 1) + top-k over
+    segments + re-score of the k winning segments (XLA, phase 2). Same
+    covering argument as :func:`topk_segmented`, but the [B, N] score
+    matrix never exists — phase 2 recomputes scores for k*128 candidates
+    per row with the SAME matmul precision as phase 1, so the covering
+    guarantee holds exactly. Measured (v5e, 1M x 128, 8 queries, top-50):
+    0.44 ms vs 0.62 ms for the two-phase XLA path and 1.39 ms for the
+    running-top-k streaming kernel.
+    """
+    B, H = queries.shape
+    N = docs.shape[0]
+    if docs.shape[1] != H:
+        raise ValueError(f"dim mismatch: queries H={H}, docs H={docs.shape[1]}")
+    if k > N:
+        raise ValueError(f"k={k} larger than corpus N={N}")
+    if tile_n % _SEG:
+        raise ValueError(f"tile_n={tile_n} must be a multiple of {_SEG}")
+    if not interpret and tile_n // _SEG < 8:
+        tile_n = 8 * _SEG  # Mosaic needs >= 8 sublanes per output block
+
+    n_pad = (-N) % tile_n
+    if n_pad:
+        docs = jnp.concatenate([docs, jnp.zeros((n_pad, H), docs.dtype)], axis=0)
+    Npad = docs.shape[0]
+    num_tiles = Npad // tile_n
+    S = Npad // _SEG
+
+    compute_dtype = docs.dtype
+    q = queries.astype(compute_dtype)
+    precision = (
+        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    n_valid_arr = jnp.asarray([N if n_valid is None else n_valid], jnp.int32)
+
+    kernel = functools.partial(_segmax_kernel, tile_n=tile_n, precision=precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, H), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((tile_n // _SEG, B), lambda i, n: (i, 0), memory_space=pltpu.VMEM)],
+    )
+    (segmax_t,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((S, B), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Npad,
+            bytes_accessed=Npad * H * docs.dtype.itemsize + S * B * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_valid_arr, q, docs)
+
+    return _segmax_phase2(
+        segmax_t, q, docs, n_valid_arr[0], k, precision=precision
+    )
+
+
+def _segmax_phase2(segmax_t, q, docs_padded, n_valid, k, *, precision, scales=None):
+    """Phase 2 (XLA): pick k winning segments per row, gather + re-score
+    them with the phase-1 matmul semantics, final top-k. ``scales`` is the
+    per-row dequant vector for int8 storage."""
+    S = segmax_t.shape[0]
+    B = q.shape[0]
+    segmax = segmax_t.T  # [B, S]
+    k_seg = min(k, S)
+    _, seg_idx = jax.lax.top_k(segmax, k_seg)  # [B, k_seg]
+
+    blocks = docs_padded.reshape(S, _SEG, -1)[seg_idx]  # [B, k_seg, SEG, H]
+    scores = jnp.einsum(
+        "bh,bkch->bkc", q, blocks.astype(q.dtype),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    if scales is not None:
+        scores = scores * scales.reshape(S, _SEG)[seg_idx]
+    gids = seg_idx[..., None] * _SEG + jnp.arange(_SEG)[None, None, :]
+    scores = jnp.where(gids < n_valid, scores, NEG_INF).reshape(B, -1)
+    gids = gids.reshape(B, -1)
+    k_eff = min(k, scores.shape[1])
+    vals, pos = jax.lax.top_k(scores, k_eff)
+    ids = jnp.take_along_axis(gids, pos, axis=1).astype(jnp.int32)
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return vals, jnp.where(vals <= NEG_INF, -1, ids)
+
+
+def _segmax_int8_kernel(n_valid_ref, q_ref, d_ref, s_ref, out_ref, *, tile_n):
+    """int8 phase 1: bf16 matmul + per-row dequant scale, then segment max
+    (same transposed layout as :func:`_segmax_kernel`)."""
+    step = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        d_ref[:].astype(jnp.bfloat16), q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) * s_ref[:]  # [tile_n, B] * [tile_n, 1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + step * tile_n
+    scores = jnp.where(row_ids < n_valid_ref[0], scores, NEG_INF)
+    out_ref[:] = jnp.max(
+        scores.reshape(tile_n // _SEG, _SEG, scores.shape[1]), axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def fused_topk_segmax_int8(
+    queries: jax.Array,  # [B, H] float
+    doc_values: jax.Array,  # [N, H] int8
+    doc_scales: jax.Array,  # [N] f32
+    k: int = 50,
+    tile_n: int = 8192,
+    interpret: bool = False,
+    n_valid=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 variant of :func:`fused_topk_segmax` (half the corpus traffic
+    of bf16; exact over the quantized index up to bf16 rounding/ties)."""
+    B, H = queries.shape
+    N = doc_values.shape[0]
+    if doc_values.shape[1] != H:
+        raise ValueError(f"dim mismatch: queries H={H}, docs H={doc_values.shape[1]}")
+    if k > N:
+        raise ValueError(f"k={k} larger than corpus N={N}")
+    if tile_n % _SEG:
+        raise ValueError(f"tile_n={tile_n} must be a multiple of {_SEG}")
+    if not interpret and tile_n // _SEG < 8:
+        tile_n = 8 * _SEG
+
+    n_pad = (-N) % tile_n
+    if n_pad:
+        doc_values = jnp.concatenate(
+            [doc_values, jnp.zeros((n_pad, H), doc_values.dtype)], axis=0
+        )
+        doc_scales = jnp.concatenate([doc_scales, jnp.zeros((n_pad,), doc_scales.dtype)])
+    Npad = doc_values.shape[0]
+    num_tiles = Npad // tile_n
+    S = Npad // _SEG
+    q = queries.astype(jnp.bfloat16)
+    n_valid_arr = jnp.asarray([N if n_valid is None else n_valid], jnp.int32)
+
+    kernel = functools.partial(_segmax_int8_kernel, tile_n=tile_n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, H), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((tile_n // _SEG, B), lambda i, n: (i, 0), memory_space=pltpu.VMEM)],
+    )
+    (segmax_t,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((S, B), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Npad,
+            bytes_accessed=Npad * (H + 4) + S * B * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_valid_arr, q, doc_values, doc_scales[:, None])
+
+    return _segmax_phase2(
+        segmax_t, q, doc_values, n_valid_arr[0], k,
+        precision=jax.lax.Precision.DEFAULT, scales=doc_scales,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact two-phase (segment-max covering) top-k, plain XLA
 # ---------------------------------------------------------------------------
 

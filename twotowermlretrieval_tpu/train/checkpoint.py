@@ -13,6 +13,7 @@ seed).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
@@ -43,8 +44,12 @@ class CheckpointManager:
         # orbax saves async + atomic-renames the directory; sync before
         # touching anything next to it
         self._ckptr.wait_until_finished()
-        with open(self._position_file(step), "w") as f:
-            json.dump(data_position or {}, f)
+        # atomic position write: a crash mid-write must not leave a torn
+        # JSON that silently resumes from epoch 0 with mid-training params
+        pos_file = self._position_file(step)
+        tmp = pos_file.with_suffix(f".tmp.{os.getpid()}")
+        tmp.write_text(json.dumps(data_position or {}))
+        os.replace(tmp, pos_file)
         self._gc()
         return path
 
@@ -57,7 +62,15 @@ class CheckpointManager:
         state = TrainState(**restored)
         state = state._replace(rng=jax.random.wrap_key_data(state.rng))
         pos_file = self._position_file(int(state.step))
-        position = json.loads(pos_file.read_text()) if pos_file.exists() else {}
+        position: Dict[str, Any] = {}
+        if pos_file.exists():
+            try:
+                position = json.loads(pos_file.read_text())
+            except json.JSONDecodeError:
+                print(
+                    f"WARNING: corrupt data-position file {pos_file}; "
+                    "resuming from the epoch start", flush=True,
+                )
         return state, position
 
     # ------------------------------------------------------------------
