@@ -227,8 +227,8 @@ def bench_retrieval():
     import jax.numpy as jnp
 
     from twotowermlretrieval_tpu.ops.topk import (
-        fused_topk,
         fused_topk_int8,
+        fused_topk_segmax,
         quantize_rows,
         topk_segmented,
         topk_segmented_int8,
@@ -237,6 +237,10 @@ def bench_retrieval():
     N, H, K, B = 1_000_000, 128, 50, 8
     rng = np.random.default_rng(SEED)
     docs = rng.standard_normal((N, H)).astype(np.float32)
+    # pad rows to the streaming tile once (as RetrievalIndex does) — an
+    # in-call pad would re-copy the corpus every search
+    pad = (-N) % 8192
+    docs = np.concatenate([docs, np.zeros((pad, H), np.float32)])
     vals_i8, scales = quantize_rows(docs)
     docs_bf = jnp.asarray(docs, jnp.bfloat16)
     d_i8, d_s = jnp.asarray(vals_i8), jnp.asarray(scales)
@@ -252,14 +256,14 @@ def bench_retrieval():
     def chain(q, docs_bf, d_i8, d_s, M, mode):
         def body(acc, _):
             qq = q + acc * 1e-30
-            if mode == "bf16":  # the serving auto-dispatch pick at this size
-                v, _ = topk_segmented(qq.astype(jnp.bfloat16), docs_bf, k=K)
-            elif mode == "int8":
-                v, _ = topk_segmented_int8(qq, d_i8, d_s, k=K)
-            elif mode == "bf16-fused":  # streaming kernel (no [B,N] in HBM)
-                v, _ = fused_topk(qq.astype(jnp.bfloat16), docs_bf, k=K, tile_n=8192)
-            else:
-                v, _ = fused_topk_int8(qq, d_i8, d_s, k=K, tile_n=8192)
+            if mode == "bf16":  # serving default: segmax streaming kernel
+                v, _ = fused_topk_segmax(qq.astype(jnp.bfloat16), docs_bf, k=K, n_valid=N)
+            elif mode == "int8":  # serving default: two-phase XLA
+                v, _ = topk_segmented_int8(qq, d_i8, d_s, k=K, n_valid=N)
+            elif mode == "bf16-xla":  # comparison: two-phase XLA
+                v, _ = topk_segmented(qq.astype(jnp.bfloat16), docs_bf, k=K, n_valid=N)
+            else:  # int8-stream: the huge-batch/corpus regime path
+                v, _ = fused_topk_int8(qq, d_i8, d_s, k=K, tile_n=8192, n_valid=N)
             return acc * 0.5 + jnp.sum(v) * 1e-20, None
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=M)
         return acc
@@ -270,7 +274,7 @@ def bench_retrieval():
 
     for mode, bytes_per_row in (
         ("bf16", 2 * H), ("int8", H + 4),
-        ("bf16-fused", 2 * H), ("int8-fused", H + 4),
+        ("bf16-xla", 2 * H), ("int8-stream", H + 4),
     ):
         # repeat the short run and take its minimum: through the remote
         # relay a single reference measurement is noisy enough to make the

@@ -52,10 +52,11 @@ def test_index_matches_oracle(rng):
 
 def test_index_single_query_padding(rng):
     d = rng.normal(size=(100, 8)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)  # IP self-NN needs unit norm
     index = RetrievalIndex(d, storage_dtype="float32", use_pallas=False)
     vals, ids = index.search(d[7][None, :], k=5)
     assert vals.shape == (1, 5)
-    assert ids[0, 0] == 7  # a doc is its own nearest neighbor
+    assert ids[0, 0] == 7  # a unit-norm doc is its own nearest neighbor
 
 
 def test_index_k_capped_at_corpus(rng):

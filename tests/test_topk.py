@@ -169,9 +169,9 @@ def test_int8_index_recall_vs_f32():
 
 
 def test_streaming_dispatch_rule():
-    """Auto-dispatch: two-phase XLA when the [B, N] score matrix is cheap
-    (measured 2.2x faster on v5e at serving sizes), streaming Pallas only
-    when it would not fit; explicit flags always win."""
+    """Auto-dispatch by measured speed: segmax streaming kernel for
+    bf16/f32, two-phase XLA for int8 (and for huge query batches) until
+    the score matrix would not fit; explicit flags always win."""
     import jax
 
     from twotowermlretrieval_tpu.ops.topk import use_streaming_kernel
@@ -179,7 +179,71 @@ def test_streaming_dispatch_rule():
     assert use_streaming_kernel(8, 1_000_000, True) is True
     assert use_streaming_kernel(8, 1_000_000, False) is False
     on_tpu = jax.default_backend() == "tpu"
-    # 8 * 1M * 4B = 32 MB of scores -> XLA path even on TPU
-    assert use_streaming_kernel(8, 1_000_000, None) is False
-    # 256 * 10M * 4B = 10 GB of scores -> streaming kernel (TPU only)
-    assert use_streaming_kernel(256, 10_000_000, None) is on_tpu
+    # bf16/f32: the segmax kernel wins at every size (TPU only)
+    assert use_streaming_kernel(8, 1_000_000, None) is on_tpu
+    # int8: XLA two-phase until the scores blow past 256 MB
+    assert use_streaming_kernel(8, 1_000_000, None, quantized=True) is False
+    assert use_streaming_kernel(256, 10_000_000, None, quantized=True) is on_tpu
+    # huge query batches exceed the segmax VMEM budget -> size rule again
+    assert use_streaming_kernel(512, 1_000_000, None) is False
+    assert use_streaming_kernel(512, 10_000_000, None) is on_tpu
+
+
+# ---------------------------------------------------------------------------
+# segment-max streaming kernel (the TPU streaming path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("N,tile_n", [(1000, 256), (777, 256), (4096, 512), (100, 128)])
+def test_segmax_kernel_matches_oracle(rng, N, tile_n):
+    from twotowermlretrieval_tpu.ops.topk import fused_topk_segmax
+
+    q, d = _data(rng, B=8, N=N, H=32)
+    k = min(50, N)
+    ref_vals, ref_ids = topk_oracle(q, d, k)
+    vals, ids = fused_topk_segmax(q, d, k=k, tile_n=tile_n, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
+def test_segmax_kernel_negative_scores_beat_padding(rng):
+    from twotowermlretrieval_tpu.ops.topk import fused_topk_segmax
+
+    q = jnp.asarray(-np.abs(rng.normal(size=(2, 8))).astype(np.float32))
+    d = jnp.asarray(np.abs(rng.normal(size=(300, 8))).astype(np.float32))
+    vals, ids = fused_topk_segmax(q, d, k=5, tile_n=256, interpret=INTERPRET)
+    assert (np.asarray(vals) < 0).all()
+    assert (np.asarray(ids) < 300).all()
+
+
+def test_segmax_kernel_prepadded_corpus(rng):
+    """The serving index pads rows once and passes n_valid; results must
+    match the unpadded corpus exactly."""
+    from twotowermlretrieval_tpu.ops.topk import fused_topk_segmax
+
+    q, d = _data(rng, B=4, N=900, H=16)
+    padded = jnp.concatenate([d, jnp.zeros((124, 16), d.dtype)])
+    ref_vals, ref_ids = topk_oracle(q, d, 20)
+    vals, ids = fused_topk_segmax(q, padded, k=20, tile_n=256, interpret=INTERPRET, n_valid=900)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
+def test_segmax_int8_matches_segmented(rng):
+    from twotowermlretrieval_tpu.ops.topk import (
+        fused_topk_segmax_int8,
+        quantize_rows,
+        topk_segmented_int8,
+    )
+
+    docs = rng.standard_normal((3000, 128)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.standard_normal((8, 128)).astype(np.float32)
+    values, scales = quantize_rows(docs)
+    kv, ki = fused_topk_segmax_int8(
+        jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales),
+        k=20, tile_n=1024, interpret=True,
+    )
+    sv, si = topk_segmented_int8(jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales), k=20)
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(sv), rtol=1e-5, atol=1e-5)
+    assert (np.asarray(ki) == np.asarray(si)).mean() > 0.95

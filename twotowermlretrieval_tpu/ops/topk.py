@@ -35,25 +35,32 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(-3.0e38)  # fits f32; safer than -inf for max/compare chains
 
 
-# Above this many bytes of [B, N] f32 scores, the streaming Pallas kernel
-# (which never materializes them) wins; below it, the two-phase XLA path is
-# ~2.2x faster on v5e (measured at B=8, 1M x 128: segmented 0.62 ms vs
-# fused 1.39 ms bf16; 0.50 vs 1.04 int8 — XLA's pipelined matmul+reduce
-# runs at ~95% of HBM speed-of-light, and the score-matrix round-trip it
-# pays is only B*N*8 bytes vs the N*H corpus pass).
+# Above this many bytes of [B, N] f32 scores, a streaming Pallas kernel
+# (which never materializes them) is mandatory; below it the choice is by
+# measured speed (v5e, 1M x 128, 8 queries x top-50):
+#   bf16/f32: segmax streaming kernel 0.57 ms < two-phase XLA 0.65 ms
+#             < running-top-k kernel 1.39 ms  -> segmax always
+#   int8:     two-phase XLA 0.44 ms < running-top-k 0.92 ms < segmax-int8
+#             1.92 ms (the int8->bf16 convert doesn't pipeline in the
+#             transposed layout)                -> XLA until scores blow up
 _SCORES_BYTES_LIMIT = 256 << 20
+# the segmax kernel holds a [tile_n, B] f32 score tile in VMEM; beyond
+# ~256 query rows it would blow the scoped-VMEM budget at tile_n=8192
+_SEGMAX_MAX_B = 256
 
 
-def use_streaming_kernel(B: int, N: int, use_pallas=None) -> bool:
+def use_streaming_kernel(B: int, N: int, use_pallas=None, quantized: bool = False) -> bool:
     """Dispatch rule shared by the serving index and the sharded search:
-    True -> fused Pallas streaming kernel, False -> two-phase XLA.
-    ``use_pallas``: None = auto (TPU only, large score matrices only),
+    True -> streaming Pallas kernel (segmax for bf16/f32, running-top-k
+    for int8), False -> two-phase XLA. ``use_pallas``: None = auto,
     True/False = forced."""
     if use_pallas is not None:
         return bool(use_pallas)
     if jax.default_backend() != "tpu":
         return False
-    return B * N * 4 > _SCORES_BYTES_LIMIT
+    if quantized or B > _SEGMAX_MAX_B:
+        return B * N * 4 > _SCORES_BYTES_LIMIT
+    return True
 
 
 def topk_oracle(queries: jax.Array, docs: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from twotowermlretrieval_tpu.ops.topk import (
-    fused_topk,
     fused_topk_int8,
+    fused_topk_segmax,
     quantize_rows,
     topk_segmented,
     topk_segmented_int8,
@@ -89,7 +89,9 @@ def _compiled_topk(mesh: Mesh, k: int, use_pallas: bool, interpret: bool, quanti
 
             def local_fn(q, local_valid):
                 if use_pallas:
-                    return fused_topk(q, docs_shard, k=k_local, interpret=interpret, n_valid=local_valid)
+                    return fused_topk_segmax(
+                        q, docs_shard, k=k_local, interpret=interpret, n_valid=local_valid
+                    )
                 return topk_segmented(q, docs_shard, k=k_local, n_valid=local_valid)
 
             return _merge_across_shards(local_fn, queries, k, n_valid, shard_rows)
@@ -136,11 +138,19 @@ def distributed_topk_int8(
     scans its quantized rows (half the HBM traffic of bf16), then the same
     O(D*k) cross-shard merge."""
     shard_rows = doc_values.shape[0] // mesh.shape[DATA_AXIS]
-    use_pallas = use_streaming_kernel(queries.shape[0], shard_rows, use_pallas)
+    use_pallas = use_streaming_kernel(queries.shape[0], shard_rows, use_pallas, quantized=True)
     if n_valid is None:
         n_valid = doc_values.shape[0]
     fn = _compiled_topk(mesh, k, use_pallas, interpret, quantized=True)
     return fn(queries, doc_values, doc_scales, jnp.int32(n_valid))
+
+
+def _shard_pad(N: int, num_shards: int) -> int:
+    """Rows to append so each shard is a multiple of the streaming tile
+    (large corpora — the kernel would otherwise re-copy its shard per
+    call to pad) or at least of the sublane width (small corpora)."""
+    row_tile = 8192 if N >= num_shards * 8192 else 8
+    return (-N) % (num_shards * row_tile)
 
 
 def shard_corpus(doc_embeddings, mesh: Mesh):
@@ -151,7 +161,7 @@ def shard_corpus(doc_embeddings, mesh: Mesh):
 
     num = mesh.shape[DATA_AXIS]
     N, H = doc_embeddings.shape
-    pad = (-N) % num
+    pad = _shard_pad(N, num)
     if pad:
         doc_embeddings = np.concatenate(
             [doc_embeddings, np.zeros((pad, H), doc_embeddings.dtype)], axis=0
@@ -170,7 +180,7 @@ def shard_corpus_int8(doc_embeddings, mesh: Mesh):
     values, scales = quantize_rows(np.asarray(doc_embeddings, np.float32))
     num = mesh.shape[DATA_AXIS]
     N, H = values.shape
-    pad = (-N) % num
+    pad = _shard_pad(N, num)
     if pad:
         values = np.concatenate([values, np.zeros((pad, H), np.int8)], axis=0)
         scales = np.concatenate([scales, np.zeros((pad,), np.float32)])

@@ -4,8 +4,9 @@ Replaces the reference's ChromaDB HNSW collection + offline indexing
 notebook (ref: frontend/main.py:74-76, 153-156; frontend/save_to_chromaDB.ipynb):
 the corpus embedding matrix lives in device HBM (bf16 by default — halves
 the bandwidth per query; int8 row-quantized halves it again) and every
-search is an exact fused score+top-k (ops.topk.fused_topk on TPU,
-topk_segmented elsewhere). By default no approximate index is built,
+search is an exact score+top-k, auto-dispatched by measured speed
+(ops.topk.use_streaming_kernel: segmax Pallas kernel for bf16/f32 on
+TPU, two-phase XLA elsewhere). By default no approximate index is built,
 persisted, or tuned; "indexing" is one device_put. For corpora beyond
 ~1M docs, ``index_type='ivf'`` switches to the on-device IVF index
 (ops/ivf.py).
@@ -26,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from twotowermlretrieval_tpu.ops.topk import (
-    fused_topk,
     fused_topk_int8,
+    fused_topk_segmax,
     quantize_rows,
     topk_segmented,
     topk_segmented_int8,
@@ -35,6 +36,17 @@ from twotowermlretrieval_tpu.ops.topk import (
 )
 
 _SUBLANE = 8  # pad query batches to a VPU-friendly multiple
+_ROW_TILE = 8192  # corpus rows padded once to the streaming-kernel tile
+
+
+def _pad_rows(x: np.ndarray) -> np.ndarray:
+    """Zero-pad dim 0 to a multiple of the kernel tile (done once at
+    construction; search masks the padding via n_valid)."""
+    pad = (-x.shape[0]) % _ROW_TILE
+    if not pad:
+        return x
+    widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+    return np.pad(x, widths)
 
 
 class RetrievalIndex:
@@ -54,10 +66,10 @@ class RetrievalIndex:
         self.dim = int(doc_embeddings.shape[1])
         self.mesh = mesh
         self.interpret = interpret
-        # None = auto-dispatch per search: the two-phase XLA path when the
-        # [B, N] score matrix is cheap (~2.2x faster on v5e at serving
-        # sizes), the streaming Pallas kernel when it would not fit
-        # (ops.topk.use_streaming_kernel). True/False forces one path.
+        # None = auto-dispatch per search by measured speed
+        # (ops.topk.use_streaming_kernel): segmax streaming kernel for
+        # bf16/f32 on TPU, two-phase XLA for int8/huge batches/CPU.
+        # True/False forces the Pallas / XLA path.
         self.use_pallas = use_pallas
         # 'ivf': approximate index for beyond-1M-doc corpora (ops/ivf.py);
         # storage may be f32/bf16/int8 (per-slot quantization). A prebuilt
@@ -90,6 +102,8 @@ class RetrievalIndex:
             return
         # 'int8' row-quantizes the corpus (ops.topk.quantize_rows): 2x less
         # HBM + scan traffic than bf16 at ~0.97 top-50 recall vs f32.
+        # Rows are padded to the streaming tile multiple ONCE here — an
+        # in-call pad would re-copy the whole corpus on every search.
         self.quantized = storage_dtype == "int8"
         if self.quantized and mesh is not None:
             from twotowermlretrieval_tpu.parallel.topk import shard_corpus_int8
@@ -99,6 +113,7 @@ class RetrievalIndex:
             )
         elif self.quantized:
             values, scales = quantize_rows(np.asarray(doc_embeddings, np.float32))
+            values, scales = _pad_rows(values), _pad_rows(scales)
             self._docs = jnp.asarray(values)
             self._scales = jnp.asarray(scales)
             self._n_valid = self.num_docs
@@ -111,7 +126,7 @@ class RetrievalIndex:
                     np.asarray(doc_embeddings, np.float32).astype(dtype), mesh
                 )
             else:
-                self._docs = jnp.asarray(np.asarray(doc_embeddings)).astype(dtype)
+                self._docs = jnp.asarray(_pad_rows(np.asarray(doc_embeddings))).astype(dtype)
                 self._n_valid = self.num_docs
 
     def search(self, query_embeddings: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -147,12 +162,17 @@ class RetrievalIndex:
                     n_valid=self._n_valid, use_pallas=self.use_pallas,
                     interpret=self.interpret,
                 )
-            elif use_streaming_kernel(qj.shape[0], self._docs.shape[0], self.use_pallas):
+            elif use_streaming_kernel(
+                qj.shape[0], self._docs.shape[0], self.use_pallas, quantized=True
+            ):
                 vals, ids = fused_topk_int8(
-                    qj, self._docs, self._scales, k=k, interpret=self.interpret
+                    qj, self._docs, self._scales, k=k, interpret=self.interpret,
+                    n_valid=self._n_valid,
                 )
             else:
-                vals, ids = topk_segmented_int8(qj, self._docs, self._scales, k=k)
+                vals, ids = topk_segmented_int8(
+                    qj, self._docs, self._scales, k=k, n_valid=self._n_valid
+                )
             return np.asarray(vals)[:B], np.asarray(ids)[:B]
 
         qj = jnp.asarray(q).astype(self._docs.dtype)
@@ -165,7 +185,9 @@ class RetrievalIndex:
                 use_pallas=self.use_pallas, interpret=self.interpret,
             )
         elif use_streaming_kernel(qj.shape[0], self._docs.shape[0], self.use_pallas):
-            vals, ids = fused_topk(qj, self._docs, k=k, interpret=self.interpret)
+            vals, ids = fused_topk_segmax(
+                qj, self._docs, k=k, interpret=self.interpret, n_valid=self._n_valid
+            )
         else:
-            vals, ids = topk_segmented(qj, self._docs, k=k)
+            vals, ids = topk_segmented(qj, self._docs, k=k, n_valid=self._n_valid)
         return np.asarray(vals)[:B], np.asarray(ids)[:B]
