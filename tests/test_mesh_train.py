@@ -150,3 +150,18 @@ def test_full_pipeline_transformer_tp(corpus, tmp_path):
     engine = SearchEngine(res["artifacts_dir"], use_pallas=False)
     hit = engine.search("t0w1 t0w2 t0w3", alpha=1.0)
     assert hit["results"] and np.isfinite(hit["results"][0]["score"])
+
+
+def test_mesh_with_length_buckets(corpus, tmp_path):
+    """Length-bucketed batching (variable packed widths, one executable
+    per bucket) composes with the mesh-native driver: bucket-width changes
+    flush dispatch groups and every width shards over 'data' cleanly."""
+    _, make_config = corpus
+    config = make_config(
+        mesh_data=4, mesh_model=1, epochs=1, steps_per_dispatch=2,
+        length_buckets=[8, 16], loss_type="triplet+in_batch",
+        cross_device_negatives=True,
+    )
+    res = train(config, output_root=tmp_path / "b", run_name="bucket-mesh")
+    assert np.isfinite(res["epochs"][-1]["avg_train_loss"])
+    assert res["epochs"][-1]["batch_Recall@10"] > 0.2
