@@ -594,3 +594,18 @@ def test_distributed_ivf_pads_when_k_exceeds_probed():
     assert (np.asarray(ids)[:, -1] == -1).all()  # padded tail
     real = np.asarray(ids)[0] >= 0
     assert real.sum() >= 100  # the one probed block's real docs survived
+
+
+def test_initialize_multihost_reraises_real_failures(monkeypatch):
+    """A real bootstrap failure with an explicit coordinator must raise —
+    silently degrading to independent single-host runs trains D wrong
+    models (r2 review)."""
+    from twotowermlretrieval_tpu.parallel import mesh as mesh_mod
+
+    def fail(**kw):
+        raise RuntimeError("connection to coordinator timed out")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fail)
+    with pytest.raises(RuntimeError):
+        mesh_mod.initialize_multihost("10.0.0.1:1234")
+    mesh_mod.initialize_multihost()  # argless single-process: swallowed

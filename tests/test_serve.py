@@ -358,3 +358,24 @@ def test_hybrid_search_drops_ivf_padding_ids(artifacts_dir, tmp_path):
     out = engine.search("t0w1 t0w2", alpha=1.0, top_k=10, fanout=50)
     for r in out["results"]:
         assert r["dense_score"] > -1e30, r  # no sentinel leaked through
+
+
+def test_http_bad_request_type_errors(server_url):
+    """Valid-JSON non-dict bodies and non-numeric alpha must 400, not
+    crash the handler (r2 review)."""
+    import urllib.request
+
+    def raw_post(body: bytes):
+        req = urllib.request.Request(
+            server_url + "/search", data=body,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert raw_post(b'"hello"') == 400
+    assert raw_post(b'{"query": "x", "alpha": null}') == 400
+    assert raw_post(b"[1, 2]") == 400

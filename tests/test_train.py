@@ -313,3 +313,16 @@ def test_corrupt_position_file_resumes_with_warning(setup, tmp_path, capsys):
     restored, position = ckpt.restore(state)
     assert position == {}
     assert "corrupt data-position" in capsys.readouterr().out
+
+
+def test_ranks_tie_handling_is_positional():
+    """Exactly-tied scores (all-zero OOV rows, duplicated passages) must
+    rank positionally like a stable sort, not all claim rank 1
+    (r2 review: strictly-greater counting inflated MRR/Recall@1)."""
+    sim = np.zeros((4, 4), np.float32)  # every score tied at 0.0
+    np.testing.assert_array_equal(ranks_of_diagonal(sim), [1, 2, 3, 4])
+    # a duplicated doc tying the positive: earlier column wins the tie
+    row = np.array([0.5, 0.9, 0.9, 0.1], np.float32)
+    sim = np.vstack([row, row, row, row])
+    assert ranks_of_diagonal(sim)[1] == 1  # positive at col 1; tie at col 2 ranks after
+    assert ranks_of_diagonal(sim)[2] == 2  # positive at col 2; tie at col 1 ranks first

@@ -21,7 +21,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import argparse
-from pathlib import Path
 
 
 def download(out_dir: Path, dataset: str = "ms_marco", version: str = "v2.1") -> None:

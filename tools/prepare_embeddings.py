@@ -4,11 +4,11 @@
 CLI equivalent of the reference's embedding notebook
 (ref: notebooks/embeddings_processing.ipynb cell 1 + the pad/unk patch in
 misc/inspect_data.ipynb cell 12): parses a GloVe text file and writes the
-two-file table contract the trainer loads. Optionally appends explicit
-``<pad>`` (zeros) and ``<UNK>`` (mean vector) rows — unlike the reference,
-which leaves id 0 doubling as both the word 'the' and the padding sentinel
-(SURVEY.md §7), this build never infers padding from token ids, so the
-extra rows are purely for vocabulary completeness.
+two-file table contract the trainer loads. Optionally appends an explicit
+``<UNK>`` (mean vector) row. No ``<pad>`` row exists or is needed — unlike
+the reference, which leaves id 0 doubling as both the word 'the' and the
+padding sentinel (SURVEY.md §7), this build carries explicit length
+channels and never infers padding from token ids.
 """
 
 from __future__ import annotations
@@ -20,7 +20,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import argparse
-from pathlib import Path
 
 import numpy as np
 

@@ -155,6 +155,10 @@ class Config:
             raise ValueError(f"SUBSAMPLE_RATIO must be in (0, 1], got {self.subsample_ratio}")
         if self.max_query_len <= 0 or self.max_doc_len <= 0:
             raise ValueError("MAX_QUERY_LEN / MAX_DOC_LEN must be positive")
+        if not (0.0 <= self.dropout < 1.0):
+            # inverted-scale dropout divides by (1 - p): p == 1.0 would be
+            # 0/0 NaNs on every step, so reject it at config time
+            raise ValueError(f"DROPOUT must be in [0, 1), got {self.dropout}")
 
     # --- JSON round-trip, reference key names -------------------------
     @classmethod

@@ -69,11 +69,3 @@ sharded_embedding_lookup.defvjp(
     _lookup_bwd,
 )
 
-
-def shard_table(table: jax.Array, num_shards: int) -> jax.Array:
-    """[V, E] -> [D, V_pad/D, E] host-side row partition (pad with zeros)."""
-    V, E = table.shape
-    pad = (-V) % num_shards
-    if pad:
-        table = jnp.concatenate([table, jnp.zeros((pad, E), table.dtype)], axis=0)
-    return table.reshape(num_shards, -1, E)

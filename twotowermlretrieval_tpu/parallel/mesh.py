@@ -59,9 +59,18 @@ def embedding_row_sharding(mesh: Mesh) -> NamedSharding:
 
 def initialize_multihost(coordinator_address: Optional[str] = None, **kwargs) -> None:
     """Multi-host process bootstrap (no-op if already initialized). In a real
-    pod deployment each host calls this before building the mesh."""
+    pod deployment each host calls this before building the mesh.
+
+    Only two failure classes are swallowed: 'already initialized' and the
+    auto-detection errors of an argument-less single-process call. A real
+    bootstrap failure with an explicit coordinator (bad address, timeout)
+    re-raises — silently degrading to independent single-host runs would
+    train D different wrong models."""
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
     except (RuntimeError, ValueError) as e:
-        # already initialized, or single-process run
-        print(f"jax.distributed.initialize skipped: {e}")
+        already = "already" in str(e).lower()
+        if already or (coordinator_address is None and not kwargs):
+            print(f"jax.distributed.initialize skipped: {e}")
+        else:
+            raise

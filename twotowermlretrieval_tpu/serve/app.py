@@ -71,7 +71,7 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 query = payload["query"]
                 alpha = float(payload.get("alpha", 0.5))
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
                 self._send_json({"error": f"bad request: {e}"}, 400)
                 return
             try:

@@ -34,6 +34,10 @@ class SimpleHybridRetriever:
         max_features: int = 10000,
         use_pallas: Optional[bool] = None,
         interpret: bool = False,
+        storage_dtype: str = "float32",  # f32 default: bit-parity with the
+        # reference's brute-force numpy cosine (the serving engine's bf16
+        # default trades ~1e-2 score wobble for bandwidth; this library
+        # path is the reference-equivalent one, so it keeps exact scores)
     ):
         self.dense_retriever = QueryInferencer(artifacts_path)
         self.alpha = alpha
@@ -44,6 +48,7 @@ class SimpleHybridRetriever:
         self.index: Optional[RetrievalIndex] = None
         self._use_pallas = use_pallas
         self._interpret = interpret
+        self._storage_dtype = storage_dtype
 
     def fit(self, documents: List[str]) -> None:
         """Fit TF-IDF + embed the corpus (ref: simple_hybrid.py:28-43)."""
@@ -54,7 +59,8 @@ class SimpleHybridRetriever:
         else:  # reference-faithful shortcut: query tower for documents
             embs = self.dense_retriever.get_query_embeddings(self.documents)
         self.index = RetrievalIndex(
-            embs, use_pallas=self._use_pallas, interpret=self._interpret
+            embs, storage_dtype=self._storage_dtype,
+            use_pallas=self._use_pallas, interpret=self._interpret,
         )
 
     def search(self, query: str, top_k: int = 10) -> List[Tuple[str, float]]:

@@ -35,21 +35,33 @@ Triplet = Tuple[str, str, str]
 
 
 def _block_ranks(q_block: jax.Array, d_embs: jax.Array, offset: int) -> jax.Array:
-    """Ranks (1-based, strictly-greater counting) of each block query's
-    positive — global query ``offset + r``'s positive sits at column
-    ``offset + r`` of the full similarity (ref: evaluators.py:59-65)."""
+    """Ranks (1-based) of each block query's positive — global query
+    ``offset + r``'s positive sits at column ``offset + r`` of the full
+    similarity (ref: evaluators.py:59-65). Ties resolve as a STABLE
+    descending sort would (equal scores at earlier columns rank first):
+    strictly-greater counting alone would give every exactly-tied score —
+    e.g. the all-zero rows of empty/OOV queries, or duplicated passages —
+    rank 1 and systematically inflate MRR/Recall@1."""
     sim = jnp.dot(q_block, d_embs.T, preferred_element_type=jnp.float32)
     rows = jnp.arange(q_block.shape[0])
-    diag = sim[rows, offset + rows]
-    return 1 + jnp.sum(sim > diag[:, None], axis=1)
+    pos_col = offset + rows
+    diag = sim[rows, pos_col]
+    cols = jnp.arange(sim.shape[1])[None, :]
+    greater = jnp.sum(sim > diag[:, None], axis=1)
+    ties_before = jnp.sum((sim == diag[:, None]) & (cols < pos_col[:, None]), axis=1)
+    return 1 + greater + ties_before
 
 
 def ranks_of_diagonal(sim: np.ndarray) -> np.ndarray:
-    """Rank (1-based) of sim[i, i] within row i, counting strictly-greater
-    entries — the reference's sort-position semantics (evaluators.py:59-65)
-    for distinct scores."""
+    """Rank (1-based) of sim[i, i] within row i — the reference's
+    sort-position semantics (evaluators.py:59-65), with stable-sort tie
+    handling (see _block_ranks)."""
     diag = np.diag(sim)
-    return 1 + (sim > diag[:, None]).sum(axis=1)
+    cols = np.arange(sim.shape[1])[None, :]
+    pos_col = np.arange(sim.shape[0])[:, None]
+    greater = (sim > diag[:, None]).sum(axis=1)
+    ties_before = ((sim == diag[:, None]) & (cols < pos_col)).sum(axis=1)
+    return 1 + greater + ties_before
 
 
 class BatchEvaluator:

@@ -16,6 +16,19 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 
+def _jsonable(v):
+    """Scalars -> float; arrays -> lists; anything else passes through
+    (the sink must never kill the training loop over a metric value)."""
+    if hasattr(v, "__float__"):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            pass
+    if hasattr(v, "tolist"):
+        return v.tolist()
+    return v
+
+
 class MetricLogger:
     def __init__(
         self,
@@ -41,7 +54,7 @@ class MetricLogger:
 
     def log(self, metrics: Dict[str, Any], step: int) -> None:
         record = {"step": int(step), "time": time.time()}
-        record.update({k: (float(v) if hasattr(v, "__float__") else v) for k, v in metrics.items()})
+        record.update({k: _jsonable(v) for k, v in metrics.items()})
         line = json.dumps(record)
         if self.stdout:
             print(line, flush=True)

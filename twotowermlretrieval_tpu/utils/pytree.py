@@ -47,8 +47,12 @@ def unflatten_params(flat: Dict[str, np.ndarray]) -> Any:
         if not isinstance(node, dict):
             return node
         keys = list(node.keys())
+        # tuples round-trip as contiguous 0..n-1 digit keys; anything else
+        # (including non-contiguous digit keys a user might create) stays a
+        # dict, rather than KeyError-ing or silently changing the treedef
         if keys and all(k.isdigit() for k in keys):
-            return tuple(materialize(node[str(i)]) for i in range(len(keys)))
+            if sorted(int(k) for k in keys) == list(range(len(keys))):
+                return tuple(materialize(node[str(i)]) for i in range(len(keys)))
         return {k: materialize(v) for k, v in node.items()}
 
     return materialize(root)
