@@ -31,7 +31,15 @@ def make_mesh(
     model: int = 1,
     devices=None,
 ) -> Mesh:
-    """('data', 'model') mesh. data=-1 -> all remaining devices."""
+    """('data', 'model') mesh. data=-1 -> all remaining devices.
+
+    When the mesh spans every visible device, placement goes through
+    ``mesh_utils.create_device_mesh``, which orders devices by the physical
+    ICI topology (rings/tori) so the 'model' axis — the one carrying
+    per-step psums — lands on nearest-neighbor links instead of whatever
+    order ``jax.devices()`` happens to return. An explicit device subset
+    falls back to a plain reshape."""
+    explicit = devices is not None
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data == -1:
@@ -40,6 +48,14 @@ def make_mesh(
         data = n // model
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
+    if not explicit and n > 1:
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh((data, model))
+            return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+        except (ValueError, NotImplementedError, AssertionError):
+            pass  # unusual topologies: plain order is still correct, just slower
     return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
 
 
