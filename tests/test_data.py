@@ -242,3 +242,24 @@ def test_single_query_split_does_not_hang():
             df2.to_parquet(p)
             out = builder.load_and_process_parquet(str(p))
         assert out == []  # skipped, not hung
+
+
+def test_glove_parser_handles_multiword_tokens(tmp_path):
+    """Real GloVe files (840B) contain tokens WITH spaces ('. . .'); the
+    vector is the trailing D fields, not parts[1:] (r2 review)."""
+    from twotowermlretrieval_tpu.data.glove import parse_glove_txt
+
+    f = tmp_path / "glove.txt"
+    f.write_text(
+        "the 0.1 0.2 0.3\n"
+        ". . . 0.4 0.5 0.6\n"          # token ". . ." with spaces
+        "at name@domain.com 0.7 0.8 0.9\n"
+        "broken 0.1 notafloat 0.3\n"   # malformed: skipped, not fatal
+        "cat 1.0 1.1 1.2\n"
+    )
+    table, w2i = parse_glove_txt(f)
+    assert table.shape == (4, 3)
+    assert w2i["the"] == 0 and w2i[". . ."] == 1
+    assert w2i["at name@domain.com"] == 2 and w2i["cat"] == 3
+    np.testing.assert_allclose(table[1], [0.4, 0.5, 0.6])
+    np.testing.assert_allclose(table[3], [1.0, 1.1, 1.2])

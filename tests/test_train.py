@@ -326,3 +326,24 @@ def test_ranks_tie_handling_is_positional():
     sim = np.vstack([row, row, row, row])
     assert ranks_of_diagonal(sim)[1] == 1  # positive at col 1; tie at col 2 ranks after
     assert ranks_of_diagonal(sim)[2] == 2  # positive at col 2; tie at col 1 ranks first
+
+
+def test_resume_with_length_buckets_and_dispatch_groups(setup, tmp_path):
+    """Group-granular resume must replay the buffered per-width grouping
+    deterministically: checkpoint mid-epoch with length buckets and
+    steps_per_dispatch > 1, resume, and finish without loss of batches
+    (r2 review: flush-on-width-change previously collapsed groups)."""
+    from twotowermlretrieval_tpu.data.synthetic import generate_corpus, synthetic_config
+    from twotowermlretrieval_tpu.train.loop import train
+
+    out = tmp_path / "c"
+    generate_corpus(out, num_queries=100, num_topics=8, words_per_topic=15, embed_dim=16)
+    config = synthetic_config(out, hidden_dim=16, lr=5e-3, batch_size=16, epochs=1,
+                              length_buckets=[8, 16], steps_per_dispatch=4)
+    config = config.replace(checkpoint_every_steps=4)
+    ckpt = tmp_path / "ck"
+    r1 = train(config, output_root=tmp_path / "a", checkpoint_dir=ckpt, run_name="r1")
+    assert np.isfinite(r1["epochs"][-1]["avg_train_loss"])
+    r2 = train(config.replace(epochs=2), output_root=tmp_path / "b",
+               checkpoint_dir=ckpt, resume=True, run_name="r2")
+    assert np.isfinite(r2["epochs"][-1]["avg_train_loss"])

@@ -24,16 +24,31 @@ def parse_glove_txt(path: str | Path) -> Tuple[np.ndarray, Dict[str, int]]:
     """
     vectors = []
     word_to_idx: Dict[str, int] = {}
+    dim = None
+    skipped = 0
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
             parts = line.rstrip("\n").split(" ")
             if len(parts) < 2:
                 continue
-            word = parts[0]
-            if word in word_to_idx:
+            if dim is None:
+                dim = len(parts) - 1
+            # the vector is the trailing `dim` fields; everything before is
+            # the token — real GloVe files (840B) contain tokens WITH
+            # spaces ('. . .', 'at name@domain.com …'), which a naive
+            # parts[0]/parts[1:] split would feed into float parsing
+            word = " ".join(parts[:-dim])
+            if not word or word in word_to_idx:
+                continue
+            try:
+                vec = np.asarray(parts[-dim:], dtype=np.float32)
+            except ValueError:
+                skipped += 1  # malformed line: wrong field count / bad float
                 continue
             word_to_idx[word] = len(word_to_idx)
-            vectors.append(np.asarray(parts[1:], dtype=np.float32))
+            vectors.append(vec)
+    if skipped:
+        print(f"parse_glove_txt: skipped {skipped} malformed lines")
     return np.stack(vectors), word_to_idx
 
 

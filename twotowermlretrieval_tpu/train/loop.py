@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import argparse
 import functools
-import itertools
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -133,6 +132,29 @@ def train(
     host_spec = TwoTowerSpec.from_config(
         config.replace(shard_embedding_table=False, mesh_model=1)
     )
+
+    if model_path is not None:
+        # eval-only mode (ref: backend/main.py:81-89, 198-200) — before any
+        # device state exists: it needs only the saved weights, so building
+        # towers/optimizer/mesh placement here would waste seconds of
+        # remote-TPU startup and an HBM spike just to discard them
+        from twotowermlretrieval_tpu.utils.pytree import load_params_npz
+
+        logger = MetricLogger(use_wandb=use_wandb, wandb_config=config.to_dict(), run_name=run_name)
+        encoder = TextEncoder(
+            load_params_npz(model_path), host_spec, tokenizer,
+            batch_size=config.batch_size,
+            max_query_len=config.max_query_len, max_doc_len=config.max_doc_len,
+        )
+        results = {
+            "run_name": logger.run_name,
+            "test_eval": TestEvaluator(seed=config.seed).evaluate(
+                encoder, datasets.get("test", [])
+            ),
+        }
+        logger.finish()
+        return results
+
     rng = jax.random.key(config.seed)
     init_rng, state_rng = jax.random.split(rng)
     params = init_two_tower(init_rng, spec, pretrained_embeddings=table)
@@ -171,21 +193,6 @@ def train(
         stack_sharding = None
     batch_evaluator = BatchEvaluator()
     corpus_evaluator = CorpusEvaluator(seed=config.seed)
-
-    if model_path is not None:
-        # eval-only mode (ref: backend/main.py:81-89, 198-200)
-        from twotowermlretrieval_tpu.utils.pytree import load_params_npz
-
-        params = load_params_npz(model_path)
-        encoder = TextEncoder(
-            params, host_spec, tokenizer, batch_size=config.batch_size,
-            max_query_len=config.max_query_len, max_doc_len=config.max_doc_len,
-        )
-        results["test_eval"] = TestEvaluator(seed=config.seed).evaluate(
-            encoder, datasets.get("test", [])
-        )
-        logger.finish()
-        return results
 
     train_batcher = TripletBatcher(
         datasets["train"], tokenizer, config.batch_size,
@@ -246,27 +253,38 @@ def train(
         return dict(zip(keys, vals.tolist()))
 
     def packed_groups(batches):
-        """Stack up to K same-shape packed buffers into ([k, B, W] array,
-        real-example count) pairs (a length-bucket width change flushes the
-        current group early). The count excludes repeat-padded rows so
+        """Stack K same-shape packed buffers into ([k, B, W] array,
+        real-example count) pairs. Groups buffer PER WIDTH: length-bucket
+        shuffling interleaves widths, so a flush-on-width-change policy
+        would collapse most groups to k~1 — one host round-trip per step
+        and up to K x num_buckets distinct scan executables. Buffering is
+        deterministic for a given batch stream, so group-granular resume
+        replays identically. The count excludes repeat-padded rows so
         examples/s reports real work."""
-        group: list = []
+        pending: Dict[tuple, list] = {}
 
-        def flush():
-            stack = np.stack(group)
+        def flush(buf):
+            stack = np.stack(buf)
             return stack, int(stack[:, :, -1].sum())  # last col = example_mask
 
         for b in batches:
             p = pack_batch(b)
-            if group and p.shape != group[0].shape:
-                yield flush()
-                group = []
-            group.append(p)
-            if len(group) == K:
-                yield flush()
-                group = []
-        if group:
-            yield flush()
+            buf = pending.setdefault(p.shape, [])
+            buf.append(p)
+            if len(buf) == K:
+                yield flush(buf)
+                pending[p.shape] = []
+        for buf in pending.values():
+            if buf:
+                yield flush(buf)
+
+    def _skip_group_batches(groups, n: int):
+        skipped = 0
+        for stack, n_real in groups:
+            if skipped < n:
+                skipped += stack.shape[0]
+                continue
+            yield stack, n_real
 
     def prefetch_groups(groups, size: int = 2):
         import collections
@@ -300,19 +318,27 @@ def train(
     step = int(state.step)
     first_dispatch_done = False
     compile_seconds = None
-    t_steady = t_start
     steady_baseline = 0
+    # throughput accounting covers the TRAIN LOOP only — the per-epoch
+    # evaluations (in-batch eval, host-side corpus encode) would otherwise
+    # deflate the reported examples/s on eval-heavy runs
+    train_elapsed = 0.0
+    steady_elapsed = 0.0
     for epoch in range(start_epoch, config.epochs):
         epoch_seed = config.seed + 1000 + epoch  # deterministic shuffle per epoch
         running = None
         num_batches = 0
-        batch_iter = train_batcher.batches(seed=epoch_seed)
+        t_epoch = time.time()
+        t_epoch_steady = t_epoch if first_dispatch_done else None
+        groups = packed_groups(train_batcher.batches(seed=epoch_seed))
         batch_index = 0
         if epoch == start_epoch and skip_batches:
-            # deterministic resume: replay the shuffle, skip done work
-            batch_iter = itertools.islice(batch_iter, skip_batches, None)
+            # deterministic resume: replay the shuffle AND the (buffered)
+            # grouping, then drop whole done groups — checkpoints land on
+            # group boundaries, so the skip is exact
+            groups = _skip_group_batches(groups, skip_batches)
             batch_index = skip_batches
-        for stack, n_real in prefetch_groups(packed_groups(batch_iter)):
+        for stack, n_real in prefetch_groups(groups):
             k = stack.shape[0]
             if (
                 profile_dir is not None
@@ -341,7 +367,7 @@ def train(
                 # the first call blocks on (remote) XLA compilation; record
                 # it so steady-state throughput can be reported separately
                 compile_seconds = time.time() - t_step0
-                t_steady = time.time()
+                t_epoch_steady = time.time()
                 steady_baseline = examples_seen
                 first_dispatch_done = True
             if profile_ctx is not None and step >= profile_started_at + 10:
@@ -351,11 +377,17 @@ def train(
                 profile_dir = None
             if step // config.log_every_steps != prev_step // config.log_every_steps:
                 host_metrics = fetch_metrics(metrics)
-                host_metrics["examples_per_sec"] = examples_seen / max(time.time() - t_start, 1e-9)
+                loop_time = train_elapsed + (time.time() - t_epoch)
+                host_metrics["examples_per_sec"] = examples_seen / max(loop_time, 1e-9)
                 logger.log({"epoch": epoch + 1, **{f"train_{k}": v for k, v in host_metrics.items()}}, step)
             running = group_sum(metrics) if running is None else group_accum(running, metrics)
             if ckpt and step // config.checkpoint_every_steps != prev_step // config.checkpoint_every_steps:
                 ckpt.save(state, {"epoch": epoch, "batch_index": batch_index})
+
+        now = time.time()
+        train_elapsed += now - t_epoch
+        if t_epoch_steady is not None:
+            steady_elapsed += now - t_epoch_steady
 
         avg_train = (
             {k: v / max(num_batches, 1) for k, v in fetch_metrics(running).items()}
@@ -387,13 +419,19 @@ def train(
         if ckpt:
             ckpt.save(state, {"epoch": epoch + 1, "batch_index": 0})
 
-    elapsed = time.time() - t_start
-    results["train_seconds"] = elapsed
-    results["examples_per_sec"] = examples_seen / max(elapsed, 1e-9)
+    if profile_ctx is not None:
+        # training ended before the 10-step capture window filled — still
+        # finalize the trace so the profile directory is written
+        profile_ctx.__exit__(None, None, None)
+        profile_ctx = None
+
+    results["train_seconds"] = time.time() - t_start  # wall, incl. evals
+    results["train_loop_seconds"] = train_elapsed
+    results["examples_per_sec"] = examples_seen / max(train_elapsed, 1e-9)
     if first_dispatch_done:
         results["compile_seconds"] = compile_seconds
         results["steady_examples_per_sec"] = (examples_seen - steady_baseline) / max(
-            time.time() - t_steady, 1e-9
+            steady_elapsed, 1e-9
         )
     results["epochs"] = epoch_metrics_history
 
