@@ -170,23 +170,64 @@ def test_int8_index_recall_vs_f32():
 
 def test_streaming_dispatch_rule():
     """Auto-dispatch by measured speed: segmax streaming kernel for
-    bf16/f32, two-phase XLA for int8 (and for huge query batches) until
-    the score matrix would not fit; explicit flags always win."""
-    import jax
-
+    bf16/f32, two-phase XLA for int8 (and for bulk query batches) until
+    the score matrix would not fit; explicit flags always win. The rule is
+    backend-pinned here so the TPU policy is asserted even on the CPU CI
+    mesh (ADVICE r2: the old test only matched the CPU branch)."""
     from twotowermlretrieval_tpu.ops.topk import use_streaming_kernel
 
     assert use_streaming_kernel(8, 1_000_000, True) is True
     assert use_streaming_kernel(8, 1_000_000, False) is False
-    on_tpu = jax.default_backend() == "tpu"
-    # bf16/f32: the segmax kernel wins at every size (TPU only)
-    assert use_streaming_kernel(8, 1_000_000, None) is on_tpu
+    # non-TPU backends always take the XLA path
+    assert use_streaming_kernel(8, 1_000_000, None, backend="cpu") is False
+    # bf16/f32 on TPU: the segmax kernel wins at every size up to B=256
+    assert use_streaming_kernel(8, 1_000_000, None, backend="tpu") is True
     # int8: XLA two-phase until the scores blow past 256 MB
-    assert use_streaming_kernel(8, 1_000_000, None, quantized=True) is False
-    assert use_streaming_kernel(256, 10_000_000, None, quantized=True) is on_tpu
-    # huge query batches exceed the segmax VMEM budget -> size rule again
-    assert use_streaming_kernel(512, 1_000_000, None) is False
-    assert use_streaming_kernel(512, 10_000_000, None) is on_tpu
+    assert use_streaming_kernel(8, 1_000_000, None, quantized=True, backend="tpu") is False
+    assert use_streaming_kernel(256, 10_000_000, None, quantized=True, backend="tpu") is True
+    # bulk query batches: size rule again (the kernels shrink their tile
+    # to keep the [tile_n, B] score tile inside the VMEM budget)
+    assert use_streaming_kernel(512, 100_000, None, backend="tpu") is False
+    assert use_streaming_kernel(512, 1_000_000, None, backend="tpu") is True
+    assert use_streaming_kernel(512, 10_000_000, None, backend="tpu") is True
+
+
+def test_fit_tile_n_vmem_budget():
+    """tile_n shrinks so the [tile_n, B] f32 score tile fits scoped VMEM,
+    stays a multiple of 8*128, and never drops below the Mosaic minimum."""
+    from twotowermlretrieval_tpu.ops.topk import (
+        _MAX_KERNEL_B,
+        _MIN_TILE_N,
+        _SCORES_VMEM_BUDGET,
+        _fit_tile_n,
+    )
+
+    assert _fit_tile_n(8192, 8) == 8192  # serving shape: untouched
+    assert _fit_tile_n(8192, 256) == 8192  # boundary: 8 MB exactly
+    for B in (257, 512, 1024, 2048):
+        t = _fit_tile_n(8192, B)
+        assert t * B * 4 <= _SCORES_VMEM_BUDGET
+        assert t % _MIN_TILE_N == 0 and t >= _MIN_TILE_N
+    assert _fit_tile_n(8192, _MAX_KERNEL_B) == _MIN_TILE_N
+
+
+def test_segmax_bulk_batch_query_blocking(rng):
+    """B > _MAX_KERNEL_B takes the query-blocking path (one corpus pass per
+    block) and still matches the oracle exactly."""
+    from twotowermlretrieval_tpu.ops import topk as topk_mod
+    from twotowermlretrieval_tpu.ops.topk import fused_topk_segmax
+
+    q, d = _data(rng, B=12, N=700, H=16)
+    ref_vals, ref_ids = topk_oracle(q, d, 10)
+    # shrink the blocking threshold so the path runs at test sizes
+    orig = topk_mod._MAX_KERNEL_B
+    topk_mod._MAX_KERNEL_B = 5
+    try:
+        vals, ids = fused_topk_segmax(q, d, k=10, tile_n=256, interpret=INTERPRET)
+    finally:
+        topk_mod._MAX_KERNEL_B = orig
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
 
 
 # ---------------------------------------------------------------------------
@@ -247,3 +288,107 @@ def test_segmax_int8_matches_segmented(rng):
     sv, si = topk_segmented_int8(jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales), k=20)
     np.testing.assert_allclose(np.asarray(kv), np.asarray(sv), rtol=1e-5, atol=1e-5)
     assert (np.asarray(ki) == np.asarray(si)).mean() > 0.95
+
+
+# ---------------------------------------------------------------------------
+# s8 x s8 per-segment quantized kernel
+# ---------------------------------------------------------------------------
+
+
+def _seg_quant_oracle(q, values, seg_scales, k):
+    """Exact top-k under the kernel's doubly-quantized metric:
+    (q_i8 . d_i8) * scale_seg * scale_q."""
+    q = np.asarray(q, np.float32)
+    qmax = np.abs(q).max(axis=1, keepdims=True)
+    q_scale = np.where(qmax == 0, 1.0, qmax / 127.0)
+    q_i8 = np.clip(np.rint(q / q_scale), -127, 127)
+    scores = (q_i8 @ np.asarray(values, np.float32).T)
+    scores *= np.repeat(np.asarray(seg_scales), 128)[None, :]
+    scores *= q_scale
+    ids = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, ids, axis=1), ids
+
+
+def test_quantize_segments_roundtrip():
+    from twotowermlretrieval_tpu.ops.topk import quantize_segments
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((512, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    values, scales = quantize_segments(x)
+    assert values.dtype == np.int8 and scales.shape == (4,)
+    recon = values.astype(np.float32) * np.repeat(scales, 128)[:, None]
+    err = np.abs(recon - x).max()
+    assert err <= scales.max() / 2 + 1e-6  # one quantization step
+    # all-zero segment: scale 1.0, values 0
+    z_vals, z_scales = quantize_segments(np.zeros((128, 8), np.float32))
+    assert (z_vals == 0).all() and z_scales[0] == 1.0
+
+
+@pytest.mark.parametrize("N,n_valid", [(1024, None), (1024, 900), (512, 130)])
+def test_segmax_s8_matches_quantized_oracle(rng, N, n_valid):
+    from twotowermlretrieval_tpu.ops.topk import fused_topk_segmax_s8, quantize_segments
+
+    q, d = _data(rng, B=8, N=N, H=32)
+    d_np = np.asarray(d)
+    if n_valid is not None:
+        d_np = d_np.copy()
+        d_np[n_valid:] = 0.0  # the index pads with zero rows
+    values, scales = quantize_segments(d_np)
+    k = 20
+    vals, ids = fused_topk_segmax_s8(
+        q, jnp.asarray(values), jnp.asarray(scales), k=k,
+        tile_n=256, interpret=INTERPRET, n_valid=n_valid,
+        max_pad_segments=8,
+    )
+    ref_vals, ref_ids = _seg_quant_oracle(
+        np.asarray(q), values, scales, k + 10
+    )
+    limit = N if n_valid is None else n_valid
+    # padding ids never returned
+    assert (np.asarray(ids) < limit).all() and (np.asarray(ids) >= 0).all()
+    # exact under the quantized metric (drop oracle rows pointing past
+    # n_valid before comparing)
+    for b in range(8):
+        want = [i for i in ref_ids[b] if i < limit][:k]
+        np.testing.assert_array_equal(np.asarray(ids)[b], want)
+
+
+def test_segmax_s8_all_negative_scores_with_padding(rng):
+    """All-real-scores-negative + zero padding rows: the unmasked phase-1
+    maxima promote padding segments, and the widened phase-2 candidate set
+    must still recover the true (negative-score) top-k."""
+    from twotowermlretrieval_tpu.ops.topk import fused_topk_segmax_s8, quantize_segments
+
+    H = 16
+    q = jnp.asarray(np.abs(rng.normal(size=(2, H))).astype(np.float32))
+    d = -np.abs(rng.normal(size=(384, H))).astype(np.float32)
+    d_pad = np.concatenate([d, np.zeros((128, H), np.float32)])  # one fake segment
+    values, scales = quantize_segments(d_pad)
+    vals, ids = fused_topk_segmax_s8(
+        q, jnp.asarray(values), jnp.asarray(scales), k=5,
+        tile_n=256, interpret=INTERPRET, n_valid=384, max_pad_segments=1,
+    )
+    assert (np.asarray(vals) < 0).all()
+    assert (np.asarray(ids) < 384).all() and (np.asarray(ids) >= 0).all()
+    ref_vals, ref_ids = _seg_quant_oracle(np.asarray(q), values[:384], scales[:3], 5)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+
+
+def test_segmax_s8_recall_vs_f32(rng):
+    """Per-segment int8 retrieval keeps >= 0.9 top-20 recall vs exact f32
+    on normalized embeddings (the serving trade-off being bought)."""
+    from twotowermlretrieval_tpu.ops.topk import fused_topk_segmax_s8, quantize_segments
+
+    q, d = _data(rng, B=8, N=2048, H=64)
+    values, scales = quantize_segments(np.asarray(d))
+    _, ref_ids = topk_oracle(q, d, 20)
+    _, ids = fused_topk_segmax_s8(
+        q, jnp.asarray(values), jnp.asarray(scales), k=20,
+        tile_n=256, interpret=INTERPRET, max_pad_segments=0,
+    )
+    recall = np.mean([
+        len(set(np.asarray(ids)[b]) & set(np.asarray(ref_ids)[b])) / 20
+        for b in range(8)
+    ])
+    assert recall >= 0.9, recall
