@@ -73,7 +73,7 @@ def shard_ivf(index: IVFIndex, mesh: Mesh) -> ShardedIVF:
     )
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)  # bounded, same reason as _compiled_topk
 def _compiled_ivf_search(mesh: Mesh, k: int, nprobe: int, n_blocks: int, quantized: bool):
     """One shard_map+jit callable per (mesh, k, nprobe, n_blocks, storage)
     — cached for the same no-per-request-retrace reason as the exact

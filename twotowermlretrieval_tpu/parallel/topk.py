@@ -49,7 +49,8 @@ def _merge_across_shards(local_fn, queries, k, n_valid, shard_rows):
     return merged_vals, merged_ids
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)  # bounded: long-lived servers with varying
+# k/fanout would otherwise accumulate executables + Mesh refs forever
 def _compiled_topk(mesh: Mesh, k: int, use_pallas: bool, interpret: bool, quantized: bool):
     """One shard_map+jit callable per (mesh, k, backend, storage) combo.
 

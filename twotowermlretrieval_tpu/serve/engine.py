@@ -134,13 +134,20 @@ class SearchEngine:
         """One batched encode + index search for many concurrent requests;
         each request dict carries {'query', 'fanout'}. The coalesced batch
         is padded up to a fixed bucket size (repeating the first query) so
-        distinct concurrency levels share executables."""
+        distinct concurrency levels share executables. Bursts wider than
+        the largest bucket are SPLIT into bucket-sized sub-batches — a
+        len(queries)-sized fallback would compile a fresh executable at
+        request time for every new concurrency level >32, exactly the
+        cold-compile stall the buckets exist to prevent (ADVICE r2)."""
+        cap = self._BATCH_BUCKETS[-1]
+        if len(requests) > cap:
+            results = []
+            for i in range(0, len(requests), cap):
+                results.extend(self._dense_batch(requests[i : i + cap]))
+            return results
         fanout = max(r["fanout"] for r in requests)
         queries = [r["query"] for r in requests]
-        bucket = next(
-            (b for b in self._BATCH_BUCKETS if b >= len(queries)),
-            len(queries),
-        )
+        bucket = next(b for b in self._BATCH_BUCKETS if b >= len(queries))
         padded = queries + [queries[0]] * (bucket - len(queries))
         embs = self.inferencer.get_query_embeddings(padded)
         scores, ids = self.index.search(embs, k=fanout)
