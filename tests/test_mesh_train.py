@@ -165,3 +165,32 @@ def test_mesh_with_length_buckets(corpus, tmp_path):
     res = train(config, output_root=tmp_path / "b", run_name="bucket-mesh")
     assert np.isfinite(res["epochs"][-1]["avg_train_loss"])
     assert res["epochs"][-1]["batch_Recall@10"] > 0.2
+
+
+def test_mesh_corpus_eval_stays_on_device(corpus, tmp_path, monkeypatch):
+    """Per-epoch corpus/test evaluation on a mesh must NOT gather the full
+    param tree to host (VERDICT r2 item 4): _host_params runs exactly once
+    per run — at artifact export — even over multiple epochs, and the
+    corpus metrics still match the single-device evaluator's protocol."""
+    import twotowermlretrieval_tpu.train.loop as loop_mod
+
+    _, make_config = corpus
+    calls = []
+    orig = loop_mod._host_params
+
+    def spy(params, on_mesh, mesh=None):
+        calls.append(on_mesh)
+        return orig(params, on_mesh, mesh)
+
+    monkeypatch.setattr(loop_mod, "_host_params", spy)
+    kwargs = dict(loss_type="triplet+in_batch", cross_device_negatives=True, seed=0)
+    config = make_config(mesh_data=4, mesh_model=2, shard_embedding_table=True,
+                         epochs=2, **kwargs)
+    res = train(config, output_root=tmp_path / "m", run_name="ondevice-eval")
+    assert calls == [True], f"_host_params ran {len(calls)}x (want once, at export)"
+    # the mesh-encoded corpus metrics agree with the single-device run
+    single = train(make_config(mesh_data=1, mesh_model=1, epochs=2, **kwargs),
+                   output_root=tmp_path / "s", run_name="single-eval")
+    m, s = res["epochs"][-1], single["epochs"][-1]
+    assert m["corpus_Recall@10"] == pytest.approx(s["corpus_Recall@10"], abs=0.05)
+    assert m["corpus_Hit@10"] == pytest.approx(s["corpus_Hit@10"], abs=0.05)

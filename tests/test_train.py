@@ -347,3 +347,105 @@ def test_resume_with_length_buckets_and_dispatch_groups(setup, tmp_path):
     r2 = train(config.replace(epochs=2), output_root=tmp_path / "b",
                checkpoint_dir=ckpt, resume=True, run_name="r2")
     assert np.isfinite(r2["epochs"][-1]["avg_train_loss"])
+
+
+def test_param_histograms_logged(setup):
+    """config.log_param_histograms adds grad_hist/<leaf> and
+    param_hist/<leaf> fixed-bin counts (+ their _max range bounds) to the
+    step metrics — full wandb.watch histogram parity
+    (ref: backend/main.py:234)."""
+    from twotowermlretrieval_tpu.train.train_step import HISTOGRAM_BINS
+
+    config, tokenizer, spec, params, datasets = setup
+    config = config.replace(log_param_histograms=True)
+    state = create_train_state(jax.random.key(1), params, config)
+    step_fn = jax.jit(make_train_step(spec, config))
+    batch = next(iter(_batcher(config, tokenizer, datasets["train"]).batches(seed=0)))
+    _, metrics = step_fn(state, jax.tree.map(jnp.asarray, batch))
+    hist_keys = [k for k in metrics if k.startswith("grad_hist/")]
+    assert hist_keys, "no per-leaf gradient histograms"
+    for k in hist_keys:
+        counts = np.asarray(metrics[k])
+        assert counts.shape == (HISTOGRAM_BINS,)
+        leaf = state.trainable
+        for part in k.split("/")[1:]:
+            leaf = leaf[int(part)] if part.isdigit() else leaf[part]
+        assert counts.sum() == np.asarray(leaf).size  # every element binned
+        mx = float(metrics[k.replace("grad_hist/", "grad_hist_max/")])
+        assert mx >= 0
+    param_keys = [k for k in metrics if k.startswith("param_hist/")]
+    assert len(param_keys) == len(hist_keys)
+    # param histogram range bound equals the leaf's true absmax
+    k0 = param_keys[0]
+    leaf = state.trainable
+    for part in k0.split("/")[1:]:
+        leaf = leaf[int(part)] if part.isdigit() else leaf[part]
+    assert float(metrics[k0.replace("param_hist/", "param_hist_max/")]) == pytest.approx(
+        float(np.abs(np.asarray(leaf)).max()), rel=1e-6
+    )
+
+
+def test_wandb_does_not_force_param_stats(tmp_path, capsys):
+    """An explicit LOG_PARAM_STATS: false survives --wandb (VERDICT r2
+    item 10: the override used to be silently forced on), while the
+    tri-state default (None) still auto-enables histograms under wandb —
+    so one run shows hist/ metrics but no per-leaf norms."""
+    import json as _json
+
+    from twotowermlretrieval_tpu.data.synthetic import generate_corpus, synthetic_config
+    from twotowermlretrieval_tpu.train.loop import train
+
+    out = tmp_path / "c"
+    generate_corpus(out, num_queries=60, num_topics=6, words_per_topic=12, embed_dim=16)
+    config = synthetic_config(out, hidden_dim=16, batch_size=16, epochs=1)
+    config = config.replace(log_param_stats=False, log_every_steps=1)
+    train(config, use_wandb=True, output_root=tmp_path / "a", run_name="nostats")
+
+    records = []
+    for line in capsys.readouterr().out.splitlines():
+        try:
+            records.append(_json.loads(line))
+        except ValueError:
+            continue
+    step_records = [r for r in records if any(k.startswith("train_") for k in r)]
+    assert step_records, "no train metric records logged"
+    all_keys = {k for r in step_records for k in r}
+    # explicit False wins over wandb: no per-leaf norms
+    assert not any(k.startswith("train_grad_norm/") for k in all_keys)
+    # tri-state None + wandb: histograms ride the JSONL stream
+    hist_keys = [k for k in all_keys if k.startswith("train_grad_hist/")]
+    assert hist_keys, "no histogram metrics in the JSONL stream"
+    rec = next(r for r in step_records if hist_keys[0] in r)
+    from twotowermlretrieval_tpu.train.train_step import HISTOGRAM_BINS
+
+    assert len(rec[hist_keys[0]]) == HISTOGRAM_BINS
+
+
+def test_resume_restarts_epoch_on_grouping_mismatch(setup, tmp_path, capsys):
+    """A mid-epoch checkpoint whose data-position payload carries a
+    different (or missing) grouping tag cannot map batch_index onto the
+    current group order — resume must restart the epoch with a warning
+    instead of silently skipping a different prefix (ADVICE r2)."""
+    from twotowermlretrieval_tpu.data.synthetic import generate_corpus, synthetic_config
+    from twotowermlretrieval_tpu.train.checkpoint import CheckpointManager
+    from twotowermlretrieval_tpu.train.loop import train
+
+    out = tmp_path / "c"
+    generate_corpus(out, num_queries=60, num_topics=6, words_per_topic=12, embed_dim=16)
+    config = synthetic_config(out, hidden_dim=16, batch_size=16, epochs=1)
+
+    # seed a checkpoint whose position predates the grouping tag
+    from twotowermlretrieval_tpu.models.two_tower import TwoTowerSpec, init_two_tower
+    from twotowermlretrieval_tpu.train.loop import setup as loop_setup
+
+    cfg2, tokenizer, table = loop_setup(config)
+    spec = TwoTowerSpec.from_config(cfg2)
+    params = init_two_tower(jax.random.key(0), spec, pretrained_embeddings=table)
+    state = create_train_state(jax.random.key(1), params, cfg2)
+    ckpt_dir = tmp_path / "ck"
+    CheckpointManager(ckpt_dir).save(state, {"epoch": 0, "batch_index": 2})
+
+    res = train(config, output_root=tmp_path / "a", checkpoint_dir=ckpt_dir,
+                resume=True, run_name="regroup")
+    assert "restarting epoch 0 from batch 0" in capsys.readouterr().out
+    assert np.isfinite(res["epochs"][-1]["avg_train_loss"])

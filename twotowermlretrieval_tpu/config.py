@@ -69,6 +69,7 @@ _KEY_TO_FIELD = {
     "LOG_EVERY_STEPS": "log_every_steps",
     "STEPS_PER_DISPATCH": "steps_per_dispatch",
     "LOG_PARAM_STATS": "log_param_stats",
+    "LOG_PARAM_HISTOGRAMS": "log_param_histograms",
 }
 _FIELD_TO_KEY = {v: k for k, v in _KEY_TO_FIELD.items()}
 
@@ -134,11 +135,19 @@ class Config:
     log_every_steps: int = 50
     # Per-leaf gradient/parameter norms in the metric stream (the role of
     # the reference's wandb.watch(log_freq=50), ref: backend/main.py:234);
-    # computed on-device in the same fused step program. Off by default —
-    # the ~2 norms/leaf cost ~20% step time on small towers; train()
-    # enables it when W&B logging is on (mirroring the reference, where
-    # watch() only runs under wandb).
-    log_param_stats: bool = False
+    # computed on-device in the same fused step program. Tri-state:
+    # None = auto (on exactly when W&B logging is on, mirroring the
+    # reference where watch() only runs under wandb); an explicit
+    # True/False always wins — the stats cost ~20% step time on small
+    # towers, so users can run --wandb without paying it
+    # (LOG_PARAM_STATS: false) or log stats without W&B (true).
+    log_param_stats: Optional[bool] = None
+    # Per-leaf fixed-bin gradient/parameter HISTOGRAMS in the metric
+    # stream (full wandb.watch parity — the reference logs histograms
+    # every 50 batches, ref: backend/main.py:234). Same tri-state
+    # semantics as log_param_stats; histograms additionally bucket every
+    # gradient/param element (one extra pass per leaf on device).
+    log_param_histograms: Optional[bool] = None
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:

@@ -194,10 +194,11 @@ def prefetch_packed_to_device(iterator: Iterator[Batch], size: int = 2, sharding
     queue: collections.deque = collections.deque()
 
     def put(batch: Batch):
-        packed = pack_batch(batch)
-        if sharding is not None:
-            return jax.device_put(packed, sharding)
-        return jax.device_put(packed)
+        from twotowermlretrieval_tpu.parallel.mesh import put_global
+
+        # multi-process safe: on a pod each host materializes only its
+        # addressable rows of the sharded batch
+        return put_global(pack_batch(batch), sharding)
 
     for batch in iterator:
         queue.append(put(batch))

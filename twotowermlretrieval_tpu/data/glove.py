@@ -24,15 +24,29 @@ def parse_glove_txt(path: str | Path) -> Tuple[np.ndarray, Dict[str, int]]:
     """
     vectors = []
     word_to_idx: Dict[str, int] = {}
-    dim = None
     skipped = 0
+    # Infer the vector dimension as the CONSENSUS over the first lines, not
+    # just line 1 (ADVICE r2): a word2vec-style "count dim" header or a
+    # first token containing spaces would otherwise silently poison the
+    # whole parse (every later line misparsed or dropped as malformed).
+    probe = []
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
             parts = line.rstrip("\n").split(" ")
-            if len(parts) < 2:
+            if len(parts) >= 2:
+                probe.append(len(parts) - 1)
+            if len(probe) >= 16:
+                break
+    if not probe:
+        raise ValueError(f"no parseable lines in GloVe file {path}")
+    dim = max(set(probe), key=probe.count)
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split(" ")
+            if len(parts) < dim + 1:
+                if len(parts) >= 2:
+                    skipped += 1  # header / short line: not a dim-wide vector
                 continue
-            if dim is None:
-                dim = len(parts) - 1
             # the vector is the trailing `dim` fields; everything before is
             # the token — real GloVe files (840B) contain tokens WITH
             # spaces ('. . .', 'at name@domain.com …'), which a naive

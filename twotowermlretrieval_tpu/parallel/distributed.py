@@ -89,10 +89,15 @@ def replicate_state(
     shard_transformer: bool = False,
 ) -> TrainState:
     """Place leaves on the mesh per state_partition_specs (all replicated
-    unless the embedding table / transformer blocks are sharded)."""
+    unless the embedding table / transformer blocks are sharded).
+    Multi-process safe: initialization is deterministic, so every process
+    holds the same host values and contributes its addressable shards
+    (parallel.mesh.put_global)."""
+    from twotowermlretrieval_tpu.parallel.mesh import put_global
+
     specs = state_partition_specs(state, shard_embedding, shard_transformer)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
+        lambda x, s: put_global(x, NamedSharding(mesh, s)), state, specs
     )
 
 
@@ -212,12 +217,146 @@ def make_sharded_packed_eval_step(
     def packed_eval(st, packed):
         return step_fn(st, unpack_batch(packed, max_query_len))
 
-    return jax.jit(
-        jax.shard_map(
-            packed_eval,
-            mesh=mesh,
+    mapped = jax.shard_map(
+        packed_eval,
+        mesh=mesh,
+        in_specs=(state_specs, P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+        check_vma=False,
+    )
+    if jax.process_count() > 1:
+        # multi-host: the evaluator reads q/p on host, and data-sharded
+        # leaves span non-addressable devices — compile the all-gather into
+        # the step ([B, H] per batch: tiny) so np.asarray works everywhere
+        rep = NamedSharding(mesh, P())
+        return jax.jit(mapped, out_shardings=(rep, rep, rep))
+    return jax.jit(mapped)
+
+
+def make_sharded_encode_fns(spec: TwoTowerSpec, config, mesh: Mesh, state: TrainState):
+    """Jitted shard_map query/doc encoders over packed [B, W+1] buffers
+    (rows sharded on 'data', embeddings returned data-sharded). Built once
+    per mesh run; used by MeshTextEncoder so corpus/test evaluation runs
+    through the SHARDED towers instead of a host gather of every param."""
+    from twotowermlretrieval_tpu.models.two_tower import encode_document, encode_query
+    from twotowermlretrieval_tpu.train.train_step import merge_params
+
+    state_specs = state_partition_specs(
+        state, config.shard_embedding_table, shard_transformer_from_config(config)
+    )
+
+    def q_fn(st, packed):
+        params = merge_params(st.trainable, st.frozen)
+        return encode_query(params, packed[:, :-1], packed[:, -1], spec)
+
+    def d_fn(st, packed):
+        params = merge_params(st.trainable, st.frozen)
+        return encode_document(params, packed[:, :-1], packed[:, -1], spec)
+
+    def wrap(fn):
+        mapped = jax.shard_map(
+            fn, mesh=mesh,
             in_specs=(state_specs, P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS),
             check_vma=False,
         )
-    )
+        if jax.process_count() > 1:
+            # multi-host: embeddings are fetched to host — gather the data
+            # shards inside the program so every process can read them
+            return jax.jit(mapped, out_shardings=NamedSharding(mesh, P()))
+        return jax.jit(mapped)
+
+    return wrap(q_fn), wrap(d_fn)
+
+
+class MeshTextEncoder:
+    """TextEncoder-compatible host-text -> embedding encoder that runs the
+    towers over the mesh (VERDICT r2 item 4).
+
+    The mesh driver previously gathered the ENTIRE merged param tree —
+    including the [V, E] embedding tables — to host numpy every epoch just
+    so the corpus evaluator could run single-device (~320 MB per epoch at
+    GloVe scale; on a pod, a full DCN gather serializing evaluation). This
+    encoder keeps params where they live: doc/query batches are tokenized
+    host-side into the same packed buffers as training, sharded over
+    'data', encoded by cached shard_map executables, and only the [B, H]
+    embeddings come back. Evaluation protocol unchanged
+    (ref: backend/evaluators.py:162-175).
+
+    ``state`` is a mutable attribute: the driver points it at the current
+    TrainState before each evaluation (training donates/replaces the state
+    every dispatch).
+    """
+
+    def __init__(
+        self,
+        state: TrainState,
+        spec: TwoTowerSpec,
+        tokenizer,
+        mesh: Mesh,
+        config,
+        batch_size: int = 256,
+        max_query_len: int = 32,
+        max_doc_len: int = 128,
+    ):
+        self.state = state
+        self.spec = spec
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.max_query_len = max_query_len
+        self.max_doc_len = max_doc_len
+        n_data = mesh.shape[DATA_AXIS]
+        # batch buckets must split evenly over 'data'
+        def fit(b):
+            return max(((b + n_data - 1) // n_data) * n_data, n_data)
+
+        self._bucket_small, self._bucket_mid = fit(16), fit(128)
+        self.corpus_batch_size = fit(max(batch_size, 1024))
+        self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        self._q_fn, self._d_fn = make_sharded_encode_fns(spec, config, mesh, state)
+
+    def _run(self, texts, fn, max_len):
+        import numpy as np
+
+        from twotowermlretrieval_tpu.data.batching import tokenize_corpus
+
+        if len(texts) <= self._bucket_small:
+            bs = self._bucket_small
+        elif len(texts) <= self._bucket_mid:
+            bs = self._bucket_mid
+        else:
+            bs = self.corpus_batch_size
+        # same chunked-fetch discipline as TextEncoder._run: dispatch async,
+        # fetch concatenated ~64 MB chunks, drop padding rows on host
+        chunk_rows = max(1, (64 << 20) // (4 * self.spec.hidden_dim * bs))
+        host_chunks, dev_outs, masks = [], [], []
+        import jax.numpy as jnp
+
+        def flush():
+            if dev_outs:
+                host_chunks.append(np.asarray(jnp.concatenate(dev_outs, axis=0)))
+                dev_outs.clear()
+
+        for tokens, lengths, mask in tokenize_corpus(texts, self.tokenizer, max_len, bs):
+            packed = np.concatenate(
+                [tokens, lengths[:, None].astype(np.int32)], axis=1
+            )
+            from twotowermlretrieval_tpu.parallel.mesh import put_global
+
+            dev_outs.append(fn(self.state, put_global(packed, self._batch_sharding)))
+            masks.append(mask.astype(bool))
+            if len(dev_outs) >= chunk_rows:
+                flush()
+        flush()
+        if not host_chunks:
+            return np.zeros((0, self.spec.hidden_dim), np.float32)
+        return np.concatenate(host_chunks, axis=0)[np.concatenate(masks)]
+
+    def encode_queries(self, texts):
+        return self._run(texts, self._q_fn, self.max_query_len)
+
+    def encode_documents(self, texts):
+        return self._run(texts, self._d_fn, self.max_doc_len)
+
+    def encode_query(self, text: str):
+        return self.encode_queries([text])[0]

@@ -73,6 +73,42 @@ def embedding_row_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(MODEL_AXIS, None))
 
 
+def put_global(array, sharding: Optional[NamedSharding]):
+    """Place a host array onto the mesh under ``sharding``, multi-process
+    safe. Single-process: a plain ``device_put``. Multi-process (pod): a
+    bare ``device_put`` onto a sharding that spans non-addressable devices
+    is invalid — ``make_array_from_callback`` builds the global array from
+    each process's ADDRESSABLE shards only, so every host materializes just
+    its local rows of the (process-identical) global batch."""
+    import jax.numpy as jnp
+
+    if sharding is None:
+        return jax.device_put(array)
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    if hasattr(array, "dtype") and jax.dtypes.issubdtype(array.dtype, jax.dtypes.prng_key):
+        # typed PRNG keys have no numpy representation: place the raw key
+        # data (one trailing lane; P() prefix specs broadcast over it) and
+        # re-wrap. Keys are replicated in every TrainState spec.
+        data = put_global(np.asarray(jax.random.key_data(array)), sharding)
+        return jax.random.wrap_key_data(data, impl=jax.random.key_impl(array))
+    array = np.asarray(array)
+    return jax.make_array_from_callback(
+        array.shape, sharding, lambda idx: jnp.asarray(array[idx])
+    )
+
+
+def replicate_to_host(tree, mesh: Mesh):
+    """Fetch a (possibly mesh-sharded) pytree to host numpy. Multi-process:
+    leaves sharded over non-addressable devices cannot be read directly, so
+    a jitted identity with replicated out-shardings inserts the all-gather
+    first; every process then reads its local replicated copy."""
+    if jax.process_count() > 1:
+        gather = jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, P()))
+        tree = gather(tree)
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None, **kwargs) -> None:
     """Multi-host process bootstrap (no-op if already initialized). In a real
     pod deployment each host calls this before building the mesh.

@@ -62,7 +62,31 @@ class MetricLogger:
             self._file.write(line + "\n")
             self._file.flush()
         if self._wandb:
-            self._wandb.log(metrics, step=step)
+            self._wandb.log(self._wandb_metrics(metrics), step=step)
+
+    def _wandb_metrics(self, metrics: Dict[str, Any]) -> Dict[str, Any]:
+        """'<kind>_hist/<leaf>' bin-count vectors (paired with
+        '<kind>_hist_max/<leaf>' symmetric range bounds, see
+        train_step._add_param_histograms) become wandb.Histogram objects —
+        the reference's wandb.watch gradient/parameter histograms
+        (ref: backend/main.py:234). Everything else passes through."""
+        import numpy as np
+
+        out: Dict[str, Any] = {}
+        for k, v in metrics.items():
+            if "hist_max/" in k:
+                continue  # folded into the paired Histogram below
+            if "hist/" in k and hasattr(v, "__len__"):
+                counts = np.asarray(v, dtype=np.float64)
+                mx = float(metrics.get(k.replace("hist/", "hist_max/"), 0.0) or 1e-30)
+                edges = np.linspace(-mx, mx, len(counts) + 1)
+                try:
+                    out[k] = self._wandb.Histogram(np_histogram=(counts, edges))
+                except Exception:  # noqa: BLE001 — degrade to the raw counts
+                    out[k] = counts.tolist()
+            else:
+                out[k] = v
+        return out
 
     def finish(self) -> None:
         if self._file:

@@ -243,6 +243,53 @@ def _add_param_stats(metrics, grads, params, model_axis, model_sharded) -> None:
         metrics[f"param_norm/{name}"] = jnp.sqrt(ps)
 
 
+HISTOGRAM_BINS = 64
+
+
+def _leaf_histogram(x: jax.Array, model_axis, sharded) -> Tuple[jax.Array, jax.Array]:
+    """Fixed-bin histogram of a tensor over the symmetric range
+    [-absmax, absmax]: (counts [HISTOGRAM_BINS] f32, absmax scalar).
+    For leaves sharded over 'model' the absmax is pmax'd and the counts
+    psum'd so every shard reports the global histogram."""
+    absmax = jnp.max(jnp.abs(x))
+    if model_axis is not None and sharded:
+        absmax = jax.lax.pmax(absmax, model_axis)
+    scale = jnp.maximum(absmax, 1e-30)
+    idx = jnp.clip(
+        ((x.ravel() + scale) * (HISTOGRAM_BINS / (2.0 * scale))).astype(jnp.int32),
+        0,
+        HISTOGRAM_BINS - 1,
+    )
+    counts = jnp.bincount(idx, length=HISTOGRAM_BINS).astype(jnp.float32)
+    if model_axis is not None and sharded:
+        counts = jax.lax.psum(counts, model_axis)
+    return counts, absmax
+
+
+def _add_param_histograms(metrics, grads, params, model_axis, model_sharded) -> None:
+    """metrics['grad_hist/<leaf>'] ([HISTOGRAM_BINS] counts) +
+    ['grad_hist_max/<leaf>'] (symmetric range bound), and the same for
+    params — full wandb.watch parity (the reference logs gradient AND
+    parameter histograms every 50 batches, ref: backend/main.py:234).
+    The metric sink reconstructs bin edges as linspace(-max, max, BINS+1)
+    (see train.metrics.MetricLogger)."""
+    flat_g = jax.tree_util.tree_flatten_with_path(grads)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    mask = (
+        jax.tree.leaves(model_sharded)
+        if model_sharded is not None
+        else [False] * len(flat_g)
+    )
+    for (path, g), (_, p), sharded in zip(flat_g, flat_p, mask):
+        name = _leaf_name(path)
+        counts, mx = _leaf_histogram(g, model_axis, sharded)
+        metrics[f"grad_hist/{name}"] = counts
+        metrics[f"grad_hist_max/{name}"] = mx
+        counts, mx = _leaf_histogram(p, model_axis, sharded)
+        metrics[f"param_hist/{name}"] = counts
+        metrics[f"param_hist_max/{name}"] = mx
+
+
 def make_train_step(
     spec: TwoTowerSpec,
     config,
@@ -295,6 +342,12 @@ def make_train_step(
             # ref: backend/main.py:234), fused into the same device program;
             # model-sharded leaves psum their squared norms for the true value
             _add_param_stats(
+                metrics, grads, state.trainable, model_axis, model_sharded
+            )
+        if getattr(config, "log_param_histograms", False):
+            # fixed-bin grad/param histograms, also on-device (the
+            # reference's wandb.watch logs histograms, not norms)
+            _add_param_histograms(
                 metrics, grads, state.trainable, model_axis, model_sharded
             )
         return new_state, metrics
