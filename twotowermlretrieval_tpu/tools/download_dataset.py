@@ -14,13 +14,8 @@ Needs network access to the HF hub. In air-gapped environments use
 
 from __future__ import annotations
 
-import sys
-from pathlib import Path
-
-# runnable from a checkout without installation
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
 import argparse
+from pathlib import Path
 
 
 def download(out_dir: Path, dataset: str = "ms_marco", version: str = "v2.1") -> None:

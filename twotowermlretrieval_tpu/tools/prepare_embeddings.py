@@ -13,13 +13,8 @@ channels and never infers padding from token ids.
 
 from __future__ import annotations
 
-import sys
-from pathlib import Path
-
-# runnable from a checkout without installation
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
 import argparse
+from pathlib import Path
 
 import numpy as np
 
