@@ -14,15 +14,15 @@ FROM python:3.12-slim
 
 WORKDIR /app
 
-RUN pip install --no-cache-dir "jax[cpu]" numpy scipy pandas pyarrow
-
+COPY pyproject.toml README.md ./
 COPY twotowermlretrieval_tpu ./twotowermlretrieval_tpu
 COPY frontend ./frontend
 COPY tools ./tools
 
-ENV PYTHONPATH=/app
+# jax[cpu] pins the CPU jaxlib; the package's own deps come from pyproject
+RUN pip install --no-cache-dir "jax[cpu]" && pip install --no-cache-dir .
+
 EXPOSE 8888
 
 # artifacts are mounted at /artifacts (docker-compose.yml does this)
-CMD ["python", "-m", "twotowermlretrieval_tpu.serve.app", \
-     "--artifacts", "/artifacts", "--port", "8888", "--host", "0.0.0.0"]
+CMD ["ttr-serve", "--artifacts", "/artifacts", "--port", "8888", "--host", "0.0.0.0"]

@@ -609,3 +609,56 @@ def test_initialize_multihost_reraises_real_failures(monkeypatch):
     with pytest.raises(RuntimeError):
         mesh_mod.initialize_multihost("10.0.0.1:1234")
     mesh_mod.initialize_multihost()  # argless single-process: swallowed
+
+
+def test_distributed_topk_s8_matches_local():
+    """Per-segment s8 sharded retrieval over the 8-device mesh == the
+    unsharded XLA twin of the same doubly-quantized metric."""
+    from twotowermlretrieval_tpu.ops.topk import quantize_segments, topk_segmented_s8
+    from twotowermlretrieval_tpu.parallel.topk import (
+        distributed_topk_s8,
+        shard_corpus_s8,
+    )
+
+    rng = np.random.default_rng(21)
+    docs = rng.standard_normal((3000, 32)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+
+    mesh = make_mesh(data=8, model=1)
+    values_sh, scales_sh, n_valid = shard_corpus_s8(docs, mesh)
+    assert n_valid == 3000
+    # every shard's rows are a multiple of the 128-row segment
+    assert (values_sh.shape[0] // 8) % 128 == 0
+    dv, di = distributed_topk_s8(
+        jnp.asarray(q), values_sh, scales_sh, k=10, mesh=mesh,
+        n_valid=n_valid, use_pallas=False,
+    )
+    # unsharded twin on the same global quantization grid
+    pad = values_sh.shape[0] - 3000
+    x = np.concatenate([docs, np.zeros((pad, 32), np.float32)])
+    values, scales = quantize_segments(x)
+    lv, li = topk_segmented_s8(
+        jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales), k=10, n_valid=3000
+    )
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(lv), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(di), np.asarray(li))
+
+
+def test_retrieval_index_int8_on_mesh_matches_single():
+    """RetrievalIndex(storage_dtype='int8') returns the same ranking with
+    and without a mesh (both on the per-segment quantized format)."""
+    from twotowermlretrieval_tpu.serve.index import RetrievalIndex
+
+    rng = np.random.default_rng(22)
+    docs = rng.standard_normal((2000, 32)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = docs[:3] + 0.01 * rng.standard_normal((3, 32)).astype(np.float32)
+
+    local = RetrievalIndex(docs, storage_dtype="int8", use_pallas=False)
+    mesh = make_mesh(data=8, model=1)
+    dist = RetrievalIndex(docs, storage_dtype="int8", use_pallas=False, mesh=mesh)
+    lv, li = local.search(q, k=5)
+    dv, di = dist.search(q, k=5)
+    assert (li == di).mean() > 0.9  # quantization grids differ by padding
+    assert (li[:, 0] == np.arange(3)).all()  # self-NN survives int8

@@ -494,3 +494,17 @@ def test_http_mesh_serving_no_per_request_retrace(mesh_server):
         status, _, _ = _post(url, {"query": f"t{i % 4}w1 t{i % 4}w2", "alpha": 1.0})
         assert status == 200
     assert cache.cache_info().misses == before
+
+
+def test_loadtest_tool_against_live_server(server_url):
+    """ttr-loadtest drives the real HTTP surface and reports a sane
+    latency distribution (p50 <= p99, zero errors, server took_ms seen)."""
+    from twotowermlretrieval_tpu.tools.loadtest import run_load, summarize
+
+    queries = ["t0w1 t0w2", "t1w3", "t2w1 t2w2 t2w3"]
+    lat, srv, errors, wall = run_load(server_url, queries, 12, 3, alpha=0.7)
+    summary = summarize(lat, srv, errors, wall, 3)
+    assert summary["errors"] == 0 and summary["requests"] == 12
+    assert summary["client_ms"]["p50"] <= summary["client_ms"]["p99"]
+    assert summary["server_took_ms"]["p50"] > 0
+    assert summary["throughput_rps"] > 0

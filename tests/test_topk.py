@@ -339,7 +339,6 @@ def test_segmax_s8_matches_quantized_oracle(rng, N, n_valid):
     vals, ids = fused_topk_segmax_s8(
         q, jnp.asarray(values), jnp.asarray(scales), k=k,
         tile_n=256, interpret=INTERPRET, n_valid=n_valid,
-        max_pad_segments=8,
     )
     ref_vals, ref_ids = _seg_quant_oracle(
         np.asarray(q), values, scales, k + 10
@@ -367,7 +366,7 @@ def test_segmax_s8_all_negative_scores_with_padding(rng):
     values, scales = quantize_segments(d_pad)
     vals, ids = fused_topk_segmax_s8(
         q, jnp.asarray(values), jnp.asarray(scales), k=5,
-        tile_n=256, interpret=INTERPRET, n_valid=384, max_pad_segments=1,
+        tile_n=256, interpret=INTERPRET, n_valid=384,
     )
     assert (np.asarray(vals) < 0).all()
     assert (np.asarray(ids) < 384).all() and (np.asarray(ids) >= 0).all()
@@ -385,10 +384,32 @@ def test_segmax_s8_recall_vs_f32(rng):
     _, ref_ids = topk_oracle(q, d, 20)
     _, ids = fused_topk_segmax_s8(
         q, jnp.asarray(values), jnp.asarray(scales), k=20,
-        tile_n=256, interpret=INTERPRET, max_pad_segments=0,
+        tile_n=256, interpret=INTERPRET,
     )
     recall = np.mean([
         len(set(np.asarray(ids)[b]) & set(np.asarray(ref_ids)[b])) / 20
         for b in range(8)
     ])
     assert recall >= 0.9, recall
+
+
+def test_segmented_s8_matches_kernel(rng):
+    """The XLA fallback and the Pallas kernel score the per-segment index
+    under the identical doubly-quantized metric: same ids, same values."""
+    from twotowermlretrieval_tpu.ops.topk import (
+        fused_topk_segmax_s8,
+        quantize_segments,
+        topk_segmented_s8,
+    )
+
+    q, d = _data(rng, B=8, N=1152, H=32)
+    values, scales = quantize_segments(np.asarray(d))
+    kv, ki = fused_topk_segmax_s8(
+        q, jnp.asarray(values), jnp.asarray(scales), k=15,
+        tile_n=256, interpret=INTERPRET, n_valid=1100,
+    )
+    xv, xi = topk_segmented_s8(
+        q, jnp.asarray(values), jnp.asarray(scales), k=15, n_valid=1100
+    )
+    np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=1e-6, atol=1e-7)

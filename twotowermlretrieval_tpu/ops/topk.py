@@ -590,19 +590,66 @@ def quantize_segments(x: np.ndarray, seg: int = _SEG) -> Tuple[np.ndarray, np.nd
 
 
 def _segmax_s8_kernel(q_ref, d_ref, out_ref, *, tile_n):
-    """Phase 1: integer segment maxima. [tile_n, H] s8 x [B, H] s8 ->
-    [tile_n, B] s32 on the MXU, then a sublane-group max — nothing else."""
+    """Phase 1: segment maxima of the s8 x s8 scores. [tile_n, H] s8 x
+    [B, H] s8 -> [tile_n, B] s32 on the MXU, convert to f32, sublane-group
+    max — nothing else. The convert is NOT optional sugar: Mosaic's i32
+    sublane-group max runs ~2.5x slower than convert+f32 max (measured
+    0.54 vs 0.20 ms over 1M x 128 — the f32 path hits the matmul floor,
+    77% of the int8 HBM roofline). i32 magnitudes here are <= 127*127*H,
+    exactly representable in f32, so the max is still exact."""
     scores = jax.lax.dot_general(
         d_ref[:], q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [tile_n, B] i32
     out_ref[:] = jnp.max(
-        scores.reshape(tile_n // _SEG, _SEG, scores.shape[1]), axis=1
+        scores.astype(jnp.float32).reshape(tile_n // _SEG, _SEG, scores.shape[1]),
+        axis=1,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret", "max_pad_segments"))
+def quantize_query_rows(queries: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8 query quantization (traced): (q_i8 [B, H],
+    scales [B, 1] f32). A per-row positive factor never changes that row's
+    ranking, so phase-1 segment selection can ignore the scale entirely."""
+    q32 = queries.astype(jnp.float32)
+    q_absmax = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
+    q_scale = jnp.where(q_absmax == 0.0, 1.0, q_absmax / 127.0)
+    q_i8 = jnp.clip(jnp.round(q32 / q_scale), -127, 127).astype(jnp.int8)
+    return q_i8, q_scale
+
+
+def _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret):
+    """Run the s8 phase-1 kernel: [S, B] f32 segment maxima of the integer
+    scores (exact — see _segmax_s8_kernel). Exposed separately so the scan
+    can be profiled apart from phase 2."""
+    B, H = q_i8.shape
+    Npad = doc_values.shape[0]
+    num_tiles = Npad // tile_n
+    S = Npad // _SEG
+    kernel = functools.partial(_segmax_s8_kernel, tile_n=tile_n)
+    (segmax,) = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n // _SEG, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((S, B), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Npad,
+            bytes_accessed=Npad * H + S * B * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_i8, doc_values)
+    return segmax
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
 def fused_topk_segmax_s8(
     queries: jax.Array,  # [B, H] float
     doc_values: jax.Array,  # [N, H] int8, per-SEGMENT quantized
@@ -611,12 +658,9 @@ def fused_topk_segmax_s8(
     tile_n: int = 8192,
     interpret: bool = False,
     n_valid=None,  # true corpus size when docs carry zero-padding rows
-    max_pad_segments: int = 64,  # static bound: ceil(row padding / 128)
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming exact top-k over the per-segment int8 index (see module
-    comment above). ``max_pad_segments`` must upper-bound the number of
-    128-row segments that contain any zero-padding row (the serving index
-    pads to the 8192-row tile -> at most 64)."""
+    comment above)."""
     B, H = queries.shape
     N = doc_values.shape[0]
     if doc_values.shape[1] != H:
@@ -632,7 +676,6 @@ def fused_topk_segmax_s8(
             fused_topk_segmax_s8(
                 queries[i : i + _MAX_KERNEL_B], doc_values, seg_scales,
                 k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid,
-                max_pad_segments=max_pad_segments,
             )
             for i in range(0, B, _MAX_KERNEL_B)
         ]
@@ -647,8 +690,7 @@ def fused_topk_segmax_s8(
 
     n_pad = (-N) % tile_n
     if n_pad:
-        # tile padding adds whole all-zero segments; they count toward the
-        # pad-segment bound below
+        # tile padding adds whole all-zero segments (masked in phase 1.5)
         doc_values = jnp.concatenate(
             [doc_values, jnp.zeros((n_pad, H), doc_values.dtype)], axis=0
         )
@@ -656,55 +698,34 @@ def fused_topk_segmax_s8(
             [seg_scales, jnp.ones((n_pad // _SEG,), seg_scales.dtype)]
         )
     Npad = doc_values.shape[0]
-    num_tiles = Npad // tile_n
     S = Npad // _SEG
 
-    # symmetric per-row query quantization; the row scale is a positive
-    # constant per output column, so phase-1 segment ordering ignores it
-    q32 = queries.astype(jnp.float32)
-    q_absmax = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
-    q_scale = jnp.where(q_absmax == 0.0, 1.0, q_absmax / 127.0)  # [B, 1]
-    q_i8 = jnp.clip(jnp.round(q32 / q_scale), -127, 127).astype(jnp.int8)
+    q_i8, q_scale = quantize_query_rows(queries)
+    segmax = _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret)
 
-    kernel = functools.partial(_segmax_s8_kernel, tile_n=tile_n)
-    (segmax_i32,) = pl.pallas_call(
-        kernel,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_n // _SEG, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ],
-        out_shape=[jax.ShapeDtypeStruct((S, B), jnp.int32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * Npad,
-            bytes_accessed=Npad * H + S * B * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(q_i8, doc_values)
-
-    # phase 1.5 (XLA, [S, B] only): dequantize the segment maxima
-    segmax = segmax_i32.astype(jnp.float32) * seg_scales[:, None]  # [S, B]
-
-    # phase 2: unmasked phase-1 maxima can promote up to max_pad_segments
-    # zero-inflated segments past real ones — widen the candidate set by
-    # that bound (+1 for the partially-padded boundary segment), then
-    # re-score under the same quantized metric with exact gid masking
+    # phase 1.5 (XLA, [S, B] only): dequantize the segment maxima and mask
+    # segments that are ENTIRELY padding (their maxima are pure fakes).
+    # The one partially-padded boundary segment stays: its zero rows can
+    # only inflate its max, degrading each real segment's rank by at most
+    # one — k+1 candidate segments below restore the covering exactly.
     n_valid_t = jnp.asarray(N if n_valid is None else n_valid, jnp.int32)
-    k_seg = min(k + max_pad_segments + 1, S)
+    s_valid = (n_valid_t + _SEG - 1) // _SEG
+    segmax = segmax * seg_scales[:, None]  # [S, B]
+    segmax = jnp.where(jnp.arange(S)[:, None] < s_valid, segmax, NEG_INF)
+
+    k_seg = min(k + 1, S)
     _, seg_idx = jax.lax.top_k(segmax.T, k_seg)  # [B, k_seg]
 
+    # phase 2: re-score the winning segments under the SAME quantized
+    # metric — int8 operands with i32 accumulation (native MXU path; an
+    # i32 x i32 einsum would fall off the MXU entirely)
     blocks = doc_values.reshape(S, _SEG, H)[seg_idx]  # [B, k_seg, SEG, H] i8
     scores_i32 = jnp.einsum(
-        "bh,bkch->bkc", q_i8.astype(jnp.int32), blocks.astype(jnp.int32),
-        preferred_element_type=jnp.int32,
+        "bh,bkch->bkc", q_i8, blocks, preferred_element_type=jnp.int32
     )
     scores = scores_i32.astype(jnp.float32) * seg_scales[seg_idx][..., None] * q_scale[
         :, :, None
-    ].astype(jnp.float32)
+    ]
     gids = seg_idx[..., None] * _SEG + jnp.arange(_SEG)[None, None, :]
     scores = jnp.where(gids < n_valid_t, scores, NEG_INF).reshape(B, -1)
     gids = gids.reshape(B, -1)
@@ -715,6 +736,33 @@ def fused_topk_segmax_s8(
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
     return vals, jnp.where(vals <= NEG_INF, -1, ids)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_segmented_s8(
+    queries: jax.Array,  # [B, H] float
+    doc_values: jax.Array,  # [N, H] int8, per-SEGMENT quantized
+    seg_scales: jax.Array,  # [N / 128] f32
+    k: int = 50,
+    n_valid=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Plain-XLA fallback over the per-segment int8 index — the SAME
+    doubly-quantized metric as :func:`fused_topk_segmax_s8` (int8 query,
+    i32 accumulation, per-segment dequant), so results agree exactly
+    across backends. Materializes the [B, N] scores; used off-TPU."""
+    N = doc_values.shape[0]
+    if k > N:
+        raise ValueError(f"k={k} larger than corpus N={N}")
+    if N % _SEG or N // _SEG != seg_scales.shape[0]:
+        raise ValueError(f"per-segment index malformed: N={N}")
+    q_i8, q_scale = quantize_query_rows(queries)
+    scores = jax.lax.dot_general(
+        q_i8, doc_values,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    scores = scores * jnp.repeat(seg_scales, _SEG)[None, :] * q_scale
+    return _segmented_topk_from_scores(_mask_invalid(scores, n_valid), k, _SEG)
 
 
 # ---------------------------------------------------------------------------

@@ -190,3 +190,87 @@ def shard_corpus_int8(doc_embeddings, mesh: Mesh):
         jax.device_put(jnp.asarray(scales), NamedSharding(mesh, P(DATA_AXIS))),
         N,
     )
+
+
+# ---------------------------------------------------------------------------
+# per-segment s8 index (the serving int8 default on TPU)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_topk_s8(mesh: Mesh, k: int, use_pallas: bool, interpret: bool):
+    """shard_map+jit callable over the per-SEGMENT quantized int8 corpus
+    (ops.topk.quantize_segments): each shard runs the s8xs8 segmax kernel
+    (or its exact XLA twin off-TPU), then the same O(D*k) merge."""
+    from twotowermlretrieval_tpu.ops.topk import (
+        fused_topk_segmax_s8,
+        topk_segmented_s8,
+    )
+
+    def body(queries, values_shard, segscales_shard, n_valid):
+        shard_rows = values_shard.shape[0]
+        k_local = min(k, shard_rows)
+
+        def local_fn(q, local_valid):
+            if use_pallas:
+                return fused_topk_segmax_s8(
+                    q, values_shard, segscales_shard, k=k_local,
+                    interpret=interpret, n_valid=local_valid,
+                )
+            return topk_segmented_s8(
+                q, values_shard, segscales_shard, k=k_local, n_valid=local_valid
+            )
+
+        return _merge_across_shards(local_fn, queries, k, n_valid, shard_rows)
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS), P()),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def distributed_topk_s8(
+    queries: jax.Array,  # [B, H] f32 (replicated)
+    doc_values: jax.Array,  # [N, H] int8 sharded on dim 0 over 'data'
+    seg_scales: jax.Array,  # [N / 128] f32 sharded over 'data'
+    k: int,
+    mesh: Mesh,
+    n_valid: int | None = None,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-segment-quantized variant of :func:`distributed_topk_int8`
+    (half the HBM traffic of bf16 AND a scan that runs at the s8 matmul
+    floor — the per-row format's dequant stalls are gone)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if n_valid is None:
+        n_valid = doc_values.shape[0]
+    fn = _compiled_topk_s8(mesh, k, bool(use_pallas), interpret)
+    return fn(queries, doc_values, seg_scales, jnp.int32(n_valid))
+
+
+def shard_corpus_s8(doc_embeddings, mesh: Mesh):
+    """Quantize [N, H] f32 per 128-row segment and place values + segment
+    scales row-sharded over 'data'. Every shard's row count is a multiple
+    of the segment width (128) — large corpora pad to the 8192-row
+    streaming tile per shard. Returns (values, seg_scales, true N)."""
+    import numpy as np
+
+    from twotowermlretrieval_tpu.ops.topk import quantize_segments
+
+    num = mesh.shape[DATA_AXIS]
+    N, H = doc_embeddings.shape
+    row_tile = 8192 if N >= num * 8192 else 128
+    pad = (-N) % (num * row_tile)
+    x = np.asarray(doc_embeddings, np.float32)
+    if pad:
+        x = np.concatenate([x, np.zeros((pad, H), np.float32)], axis=0)
+    values, seg_scales = quantize_segments(x)
+    return (
+        jax.device_put(jnp.asarray(values), NamedSharding(mesh, P(DATA_AXIS, None))),
+        jax.device_put(jnp.asarray(seg_scales), NamedSharding(mesh, P(DATA_AXIS))),
+        N,
+    )

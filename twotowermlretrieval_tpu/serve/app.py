@@ -28,7 +28,10 @@ from pathlib import Path
 from twotowermlretrieval_tpu.serve.engine import SearchEngine
 
 _UI_CANDIDATES = (
+    # repo checkout layout (serve/ -> package -> repo root)
     Path(__file__).resolve().parent.parent.parent / "frontend" / "index.html",
+    # installed-package usage (ttr-serve): UI relative to the working dir
+    Path("frontend") / "index.html",
 )
 
 
