@@ -235,11 +235,11 @@ def bench_retrieval():
     import jax.numpy as jnp
 
     from twotowermlretrieval_tpu.ops.topk import (
-        fused_topk_int8,
         fused_topk_segmax,
-        quantize_rows,
+        fused_topk_segmax_s8,
+        quantize_segments,
         topk_segmented,
-        topk_segmented_int8,
+        topk_segmented_s8,
     )
 
     N, H, K, B = 1_000_000, 128, 50, 8
@@ -249,9 +249,9 @@ def bench_retrieval():
     # in-call pad would re-copy the corpus every search
     pad = (-N) % 8192
     docs = np.concatenate([docs, np.zeros((pad, H), np.float32)])
-    vals_i8, scales = quantize_rows(docs)
+    vals_i8, seg_scales = quantize_segments(docs)
     docs_bf = jnp.asarray(docs, jnp.bfloat16)
-    d_i8, d_s = jnp.asarray(vals_i8), jnp.asarray(scales)
+    d_i8, d_s = jnp.asarray(vals_i8), jnp.asarray(seg_scales)
     q = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
     jax.block_until_ready((docs_bf, d_i8))
 
@@ -266,12 +266,12 @@ def bench_retrieval():
             qq = q + acc * 1e-30
             if mode == "bf16":  # serving default: segmax streaming kernel
                 v, _ = fused_topk_segmax(qq.astype(jnp.bfloat16), docs_bf, k=K, n_valid=N)
-            elif mode == "int8":  # serving default: two-phase XLA
-                v, _ = topk_segmented_int8(qq, d_i8, d_s, k=K, n_valid=N)
+            elif mode == "int8":  # serving default: s8xs8 segmax kernel
+                v, _ = fused_topk_segmax_s8(qq, d_i8, d_s, k=K, n_valid=N)
             elif mode == "bf16-xla":  # comparison: two-phase XLA
                 v, _ = topk_segmented(qq.astype(jnp.bfloat16), docs_bf, k=K, n_valid=N)
-            else:  # int8-stream: the huge-batch/corpus regime path
-                v, _ = fused_topk_int8(qq, d_i8, d_s, k=K, tile_n=8192, n_valid=N)
+            else:  # int8-xla: the off-TPU twin of the s8 kernel
+                v, _ = topk_segmented_s8(qq, d_i8, d_s, k=K, n_valid=N)
             return acc * 0.5 + jnp.sum(v) * 1e-20, None
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=M)
         return acc
@@ -280,9 +280,10 @@ def bench_retrieval():
         float(chain(q, docs_bf, d_i8, d_s, M, mode))
         t0 = time.time(); float(chain(q, docs_bf, d_i8, d_s, M, mode)); return time.time() - t0
 
+    # int8 rows cost H bytes (+4/128 per row of segment scales — negligible)
     for mode, bytes_per_row in (
-        ("bf16", 2 * H), ("int8", H + 4),
-        ("bf16-xla", 2 * H), ("int8-stream", H + 4),
+        ("bf16", 2 * H), ("int8", H),
+        ("bf16-xla", 2 * H), ("int8-xla", H),
     ):
         # repeat the short run and take its minimum: through the remote
         # relay a single reference measurement is noisy enough to make the

@@ -413,3 +413,27 @@ def test_segmented_s8_matches_kernel(rng):
     )
     np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
     np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("seg", [32, 64])
+def test_segmax_s8_narrow_segments(rng, seg):
+    """The s8 path generalizes to narrower covering segments (smaller
+    phase-2 gather volume, tighter quantization) — kernel == XLA twin."""
+    from twotowermlretrieval_tpu.ops.topk import (
+        fused_topk_segmax_s8,
+        quantize_segments,
+        topk_segmented_s8,
+    )
+
+    q, d = _data(rng, B=4, N=1024, H=32)
+    values, scales = quantize_segments(np.asarray(d), seg=seg)
+    assert scales.shape == (1024 // seg,)
+    kv, ki = fused_topk_segmax_s8(
+        q, jnp.asarray(values), jnp.asarray(scales), k=12,
+        tile_n=256, interpret=INTERPRET, n_valid=1000, seg=seg,
+    )
+    xv, xi = topk_segmented_s8(
+        q, jnp.asarray(values), jnp.asarray(scales), k=12, n_valid=1000, seg=seg
+    )
+    np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=1e-6, atol=1e-7)

@@ -66,11 +66,15 @@ def _fit_tile_n(tile_n: int, B: int) -> int:
 def use_streaming_kernel(
     B: int, N: int, use_pallas=None, quantized: bool = False, backend: str | None = None
 ) -> bool:
-    """Dispatch rule shared by the serving index and the sharded search:
-    True -> streaming Pallas kernel (segmax for bf16/f32, running-top-k
-    for int8), False -> two-phase XLA. ``use_pallas``: None = auto,
-    True/False = forced. ``backend`` pins the decision (tests); None uses
-    the live jax.default_backend()."""
+    """Dispatch rule for bf16/f32 corpora (the serving index and the
+    sharded search): True -> streaming segmax Pallas kernel, False ->
+    two-phase XLA. ``use_pallas``: None = auto, True/False = forced.
+    ``backend`` pins the decision (tests); None uses the live
+    jax.default_backend(). The ``quantized`` flag covers the legacy
+    per-ROW int8 format (fused_topk_int8 beyond the scores limit); the
+    serving int8 default is the per-SEGMENT format, whose s8xs8 kernel is
+    always preferred on TPU (see fused_topk_segmax_s8 and
+    serve.index.RetrievalIndex)."""
     if use_pallas is not None:
         return bool(use_pallas)
     if (backend or jax.default_backend()) != "tpu":
@@ -589,7 +593,7 @@ def quantize_segments(x: np.ndarray, seg: int = _SEG) -> Tuple[np.ndarray, np.nd
     return values, scales
 
 
-def _segmax_s8_kernel(q_ref, d_ref, out_ref, *, tile_n):
+def _segmax_s8_kernel(q_ref, d_ref, out_ref, *, tile_n, seg):
     """Phase 1: segment maxima of the s8 x s8 scores. [tile_n, H] s8 x
     [B, H] s8 -> [tile_n, B] s32 on the MXU, convert to f32, sublane-group
     max — nothing else. The convert is NOT optional sugar: Mosaic's i32
@@ -603,7 +607,7 @@ def _segmax_s8_kernel(q_ref, d_ref, out_ref, *, tile_n):
         preferred_element_type=jnp.int32,
     )  # [tile_n, B] i32
     out_ref[:] = jnp.max(
-        scores.astype(jnp.float32).reshape(tile_n // _SEG, _SEG, scores.shape[1]),
+        scores.astype(jnp.float32).reshape(tile_n // seg, seg, scores.shape[1]),
         axis=1,
     )
 
@@ -619,15 +623,15 @@ def quantize_query_rows(queries: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q_i8, q_scale
 
 
-def _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret):
+def _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret, seg=_SEG):
     """Run the s8 phase-1 kernel: [S, B] f32 segment maxima of the integer
     scores (exact — see _segmax_s8_kernel). Exposed separately so the scan
     can be profiled apart from phase 2."""
     B, H = q_i8.shape
     Npad = doc_values.shape[0]
     num_tiles = Npad // tile_n
-    S = Npad // _SEG
-    kernel = functools.partial(_segmax_s8_kernel, tile_n=tile_n)
+    S = Npad // seg
+    kernel = functools.partial(_segmax_s8_kernel, tile_n=tile_n, seg=seg)
     (segmax,) = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -636,7 +640,7 @@ def _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret):
             pl.BlockSpec((tile_n, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_n // _SEG, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tile_n // seg, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ],
         out_shape=[jax.ShapeDtypeStruct((S, B), jnp.float32)],
         cost_estimate=pl.CostEstimate(
@@ -649,25 +653,28 @@ def _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret):
     return segmax
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret", "seg"))
 def fused_topk_segmax_s8(
     queries: jax.Array,  # [B, H] float
     doc_values: jax.Array,  # [N, H] int8, per-SEGMENT quantized
-    seg_scales: jax.Array,  # [N / 128] f32 (quantize_segments)
+    seg_scales: jax.Array,  # [N / seg] f32 (quantize_segments)
     k: int = 50,
     tile_n: int = 8192,
     interpret: bool = False,
     n_valid=None,  # true corpus size when docs carry zero-padding rows
+    seg: int = _SEG,  # covering-segment width of the quantized index
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming exact top-k over the per-segment int8 index (see module
-    comment above)."""
+    comment above). ``seg`` must match the width the index was quantized
+    with; smaller segments shrink phase 2's gather/re-score volume (and
+    tighten quantization) at the cost of a longer [S, B] phase-1 output."""
     B, H = queries.shape
     N = doc_values.shape[0]
     if doc_values.shape[1] != H:
         raise ValueError(f"dim mismatch: queries H={H}, docs H={doc_values.shape[1]}")
     if k > N:
         raise ValueError(f"k={k} larger than corpus N={N}")
-    if N % _SEG or doc_values.shape[0] // _SEG != seg_scales.shape[0]:
+    if N % seg or doc_values.shape[0] // seg != seg_scales.shape[0]:
         raise ValueError(
             f"per-segment index malformed: N={N}, scales={seg_scales.shape[0]}"
         )
@@ -675,7 +682,7 @@ def fused_topk_segmax_s8(
         parts = [
             fused_topk_segmax_s8(
                 queries[i : i + _MAX_KERNEL_B], doc_values, seg_scales,
-                k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid,
+                k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid, seg=seg,
             )
             for i in range(0, B, _MAX_KERNEL_B)
         ]
@@ -685,8 +692,8 @@ def fused_topk_segmax_s8(
         )
     if not interpret:
         tile_n = _fit_tile_n(tile_n, B)
-    if tile_n % _SEG:
-        raise ValueError(f"tile_n={tile_n} must be a multiple of {_SEG}")
+    if tile_n % seg:
+        raise ValueError(f"tile_n={tile_n} must be a multiple of seg={seg}")
 
     n_pad = (-N) % tile_n
     if n_pad:
@@ -695,13 +702,13 @@ def fused_topk_segmax_s8(
             [doc_values, jnp.zeros((n_pad, H), doc_values.dtype)], axis=0
         )
         seg_scales = jnp.concatenate(
-            [seg_scales, jnp.ones((n_pad // _SEG,), seg_scales.dtype)]
+            [seg_scales, jnp.ones((n_pad // seg,), seg_scales.dtype)]
         )
     Npad = doc_values.shape[0]
-    S = Npad // _SEG
+    S = Npad // seg
 
     q_i8, q_scale = quantize_query_rows(queries)
-    segmax = _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret)
+    segmax = _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret, seg=seg)
 
     # phase 1.5 (XLA, [S, B] only): dequantize the segment maxima and mask
     # segments that are ENTIRELY padding (their maxima are pure fakes).
@@ -709,7 +716,7 @@ def fused_topk_segmax_s8(
     # only inflate its max, degrading each real segment's rank by at most
     # one — k+1 candidate segments below restore the covering exactly.
     n_valid_t = jnp.asarray(N if n_valid is None else n_valid, jnp.int32)
-    s_valid = (n_valid_t + _SEG - 1) // _SEG
+    s_valid = (n_valid_t + seg - 1) // seg
     segmax = segmax * seg_scales[:, None]  # [S, B]
     segmax = jnp.where(jnp.arange(S)[:, None] < s_valid, segmax, NEG_INF)
 
@@ -719,14 +726,14 @@ def fused_topk_segmax_s8(
     # phase 2: re-score the winning segments under the SAME quantized
     # metric — int8 operands with i32 accumulation (native MXU path; an
     # i32 x i32 einsum would fall off the MXU entirely)
-    blocks = doc_values.reshape(S, _SEG, H)[seg_idx]  # [B, k_seg, SEG, H] i8
+    blocks = doc_values.reshape(S, seg, H)[seg_idx]  # [B, k_seg, seg, H] i8
     scores_i32 = jnp.einsum(
         "bh,bkch->bkc", q_i8, blocks, preferred_element_type=jnp.int32
     )
     scores = scores_i32.astype(jnp.float32) * seg_scales[seg_idx][..., None] * q_scale[
         :, :, None
     ]
-    gids = seg_idx[..., None] * _SEG + jnp.arange(_SEG)[None, None, :]
+    gids = seg_idx[..., None] * seg + jnp.arange(seg)[None, None, :]
     scores = jnp.where(gids < n_valid_t, scores, NEG_INF).reshape(B, -1)
     gids = gids.reshape(B, -1)
     k_eff = min(k, scores.shape[1])
@@ -738,13 +745,14 @@ def fused_topk_segmax_s8(
     return vals, jnp.where(vals <= NEG_INF, -1, ids)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "seg"))
 def topk_segmented_s8(
     queries: jax.Array,  # [B, H] float
     doc_values: jax.Array,  # [N, H] int8, per-SEGMENT quantized
-    seg_scales: jax.Array,  # [N / 128] f32
+    seg_scales: jax.Array,  # [N / seg] f32
     k: int = 50,
     n_valid=None,
+    seg: int = _SEG,
 ) -> Tuple[jax.Array, jax.Array]:
     """Plain-XLA fallback over the per-segment int8 index — the SAME
     doubly-quantized metric as :func:`fused_topk_segmax_s8` (int8 query,
@@ -753,7 +761,7 @@ def topk_segmented_s8(
     N = doc_values.shape[0]
     if k > N:
         raise ValueError(f"k={k} larger than corpus N={N}")
-    if N % _SEG or N // _SEG != seg_scales.shape[0]:
+    if N % seg or N // seg != seg_scales.shape[0]:
         raise ValueError(f"per-segment index malformed: N={N}")
     q_i8, q_scale = quantize_query_rows(queries)
     scores = jax.lax.dot_general(
@@ -761,8 +769,8 @@ def topk_segmented_s8(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    scores = scores * jnp.repeat(seg_scales, _SEG)[None, :] * q_scale
-    return _segmented_topk_from_scores(_mask_invalid(scores, n_valid), k, _SEG)
+    scores = scores * jnp.repeat(seg_scales, seg)[None, :] * q_scale
+    return _segmented_topk_from_scores(_mask_invalid(scores, n_valid), k, seg)
 
 
 # ---------------------------------------------------------------------------
