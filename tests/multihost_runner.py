@@ -30,6 +30,9 @@ def main() -> None:
     parser.add_argument("--mesh-data", type=int, default=4)
     parser.add_argument("--mesh-model", type=int, default=2)
     parser.add_argument("--epochs", type=int, default=2)
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--checkpoint-every-steps", type=int, default=500)
     args = parser.parse_args()
 
     import jax
@@ -60,8 +63,12 @@ def main() -> None:
         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
         shard_embedding_table=True,
         loss_type="triplet+in_batch", cross_device_negatives=True, seed=0,
+        checkpoint_every_steps=args.checkpoint_every_steps,
     )
-    res = train(config, output_root=args.out, run_name=f"mh-{args.process_id}")
+    res = train(
+        config, output_root=args.out, run_name=f"mh-{args.process_id}",
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+    )
     last = dict(res["epochs"][-1])
     last["process_index"] = jax.process_index()
     last["num_devices"] = n_global

@@ -46,10 +46,9 @@ def corpus_dir(tmp_path_factory):
     return out
 
 
-@pytest.fixture(scope="module")
-def two_process_results(corpus_dir, tmp_path_factory):
-    """Launch the 2-process run once; several tests assert on it."""
-    out = tmp_path_factory.mktemp("mh_out")
+def _launch_pair(corpus_dir, out, extra_args=()):
+    """Launch both processes of a 2-process run; return their parsed
+    MULTIHOST_RESULT payloads."""
     port = _free_port()
     env = os.environ.copy()
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -68,7 +67,7 @@ def two_process_results(corpus_dir, tmp_path_factory):
                     "--out", str(out / f"proc{pid}"),
                     "--mesh-data", str(MESH[0]),
                     "--mesh-model", str(MESH[1]),
-                    "--epochs", str(EPOCHS),
+                    *extra_args,
                 ],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 env=env, cwd=ROOT, text=True,
@@ -89,7 +88,14 @@ def two_process_results(corpus_dir, tmp_path_factory):
         lines = [l for l in stdout.splitlines() if l.startswith("MULTIHOST_RESULT ")]
         assert lines, f"process {i} printed no result:\n{stdout[-4000:]}"
         results.append(json.loads(lines[-1].split(" ", 1)[1]))
-    return results, out
+    return results
+
+
+@pytest.fixture(scope="module")
+def two_process_results(corpus_dir, tmp_path_factory):
+    """Launch the 2-process run once; several tests assert on it."""
+    out = tmp_path_factory.mktemp("mh_out")
+    return _launch_pair(corpus_dir, out, ("--epochs", str(EPOCHS))), out
 
 
 def test_two_process_train_runs_and_agrees(two_process_results):
@@ -141,3 +147,32 @@ def test_process_zero_exports_artifacts(two_process_results):
     engine = SearchEngine(art, use_pallas=False)
     hit = engine.search("t0w1 t0w2 t0w3", alpha=0.7)
     assert hit["results"] and np.isfinite(hit["results"][0]["score"])
+
+
+def test_two_process_checkpoint_resume(corpus_dir, tmp_path_factory):
+    """Distributed (Orbax) checkpointing across the process boundary:
+    run 1 saves mid-training checkpoints from BOTH processes (process 0
+    writes metadata + the data position, collective array save, barriers
+    around the host-side file mutations); run 2 — two FRESH processes —
+    restores the sharded TrainState onto the same global mesh, resumes the
+    deterministic data order, and finishes. Pod preemption-tolerance
+    (SURVEY §5 failure/recovery), exercised for real."""
+    out = tmp_path_factory.mktemp("mh_ckpt")
+    ckpt = out / "ck"
+    first = _launch_pair(
+        corpus_dir, out / "a",
+        ("--epochs", "1", "--checkpoint-dir", str(ckpt),
+         "--checkpoint-every-steps", "4"),
+    )
+    assert all(np.isfinite(r["avg_train_loss"]) for r in first)
+    assert any(ckpt.glob("step_*")), "no checkpoint written"
+
+    second = _launch_pair(
+        corpus_dir, out / "b",
+        ("--epochs", "2", "--checkpoint-dir", str(ckpt), "--resume",
+         "--checkpoint-every-steps", "4"),
+    )
+    r0, r1 = second
+    assert r0["avg_train_loss"] == pytest.approx(r1["avg_train_loss"], rel=1e-6)
+    # the resumed run continued training (loss kept moving down vs run 1)
+    assert r0["avg_train_loss"] < first[0]["avg_train_loss"]

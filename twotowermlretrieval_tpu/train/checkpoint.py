@@ -25,10 +25,25 @@ import orbax.checkpoint as ocp
 from twotowermlretrieval_tpu.train.train_step import TrainState
 
 
+def _is_primary() -> bool:
+    return jax.process_count() == 1 or jax.process_index() == 0
+
+
+def _barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process). Host-side file
+    mutations (rmtree, position write, gc) run on process 0 only; the
+    barriers keep other processes from racing Orbax's collective save
+    into a directory that is still being cleared."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 class CheckpointManager:
     def __init__(self, directory: str | Path, max_to_keep: int = 3):
         self.directory = Path(directory).resolve()
-        self.directory.mkdir(parents=True, exist_ok=True)
+        self.directory.mkdir(parents=True, exist_ok=True)  # idempotent, race-safe
         self.max_to_keep = max_to_keep
         self._ckptr = ocp.StandardCheckpointer()
 
@@ -36,21 +51,28 @@ class CheckpointManager:
     def save(self, state: TrainState, data_position: Optional[Dict[str, Any]] = None) -> Path:
         step = int(state.step)
         path = self.directory / f"step_{step:08d}"
-        if path.exists():
+        if _is_primary() and path.exists():
             shutil.rmtree(path)
+        _barrier(f"ckpt-pre-save-{step}")
         # typed PRNG keys aren't serializable; store raw key data
         savable = state._replace(rng=jax.random.key_data(state.rng))
+        # collective in multi-process runs: every process contributes its
+        # addressable shards, process 0 writes the metadata
         self._ckptr.save(path, savable._asdict())
         # orbax saves async + atomic-renames the directory; sync before
         # touching anything next to it
         self._ckptr.wait_until_finished()
-        # atomic position write: a crash mid-write must not leave a torn
-        # JSON that silently resumes from epoch 0 with mid-training params
-        pos_file = self._position_file(step)
-        tmp = pos_file.with_suffix(f".tmp.{os.getpid()}")
-        tmp.write_text(json.dumps(data_position or {}))
-        os.replace(tmp, pos_file)
-        self._gc()
+        _barrier(f"ckpt-post-save-{step}")
+        if _is_primary():
+            # atomic position write: a crash mid-write must not leave a
+            # torn JSON that silently resumes from epoch 0 with
+            # mid-training params
+            pos_file = self._position_file(step)
+            tmp = pos_file.with_suffix(f".tmp.{os.getpid()}")
+            tmp.write_text(json.dumps(data_position or {}))
+            os.replace(tmp, pos_file)
+            self._gc()
+        _barrier(f"ckpt-done-{step}")
         return path
 
     def restore(self, template: TrainState, step: Optional[int] = None) -> Tuple[TrainState, Dict[str, Any]]:
