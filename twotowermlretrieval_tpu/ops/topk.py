@@ -37,12 +37,13 @@ NEG_INF = float(-3.0e38)  # fits f32; safer than -inf for max/compare chains
 
 # Above this many bytes of [B, N] f32 scores, a streaming Pallas kernel
 # (which never materializes them) is mandatory; below it the choice is by
-# measured speed (v5e, 1M x 128, 8 queries x top-50):
-#   bf16/f32: segmax streaming kernel 0.57 ms < two-phase XLA 0.65 ms
+# measured speed (v5e, 1M x 128, 8 queries x top-50, round 3):
+#   bf16/f32: segmax streaming kernel 0.50 ms < two-phase XLA 0.59-0.65
 #             < running-top-k kernel 1.39 ms  -> segmax always
-#   int8:     two-phase XLA 0.44 ms < running-top-k 0.92 ms < segmax-int8
-#             1.92 ms (the int8->bf16 convert doesn't pipeline in the
-#             transposed layout)                -> XLA until scores blow up
+#   int8:     per-SEGMENT s8xs8 segmax kernel 0.36 ms < its XLA twin
+#             0.39-0.56 ms -> the s8 kernel always on TPU (the legacy
+#             per-ROW format keeps XLA below this limit, running-top-k
+#             beyond — its in-scan dequant never pipelined)
 _SCORES_BYTES_LIMIT = 256 << 20
 # segmax is measured-fastest up to this many query rows; beyond it the
 # two-phase XLA path wins at moderate sizes, so streaming is used only
