@@ -4,7 +4,6 @@ repo-root tool shims stay wired to the package implementations
 ref: requirements.txt:1-17)."""
 
 import importlib
-import sys
 import tomllib
 from pathlib import Path
 
@@ -44,7 +43,3 @@ def test_version_consistent():
     with open(ROOT / "pyproject.toml", "rb") as f:
         meta = tomllib.load(f)
     assert meta["project"]["version"] == pkg.__version__
-
-
-if sys.version_info < (3, 11):  # tomllib is 3.11+; this env is 3.11+
-    raise RuntimeError("tests require python >= 3.11")

@@ -3,6 +3,12 @@
 twotowermlretrieval_tpu.tools.build_index (also installed as the ttr-build-index
 console script)."""
 
+import sys
+from pathlib import Path
+
+# runnable from a checkout without installation (sys.path[0] is tools/)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from twotowermlretrieval_tpu.tools.build_index import main
 
 if __name__ == "__main__":

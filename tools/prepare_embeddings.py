@@ -3,6 +3,12 @@
 twotowermlretrieval_tpu.tools.prepare_embeddings (also installed as the ttr-prepare-embeddings
 console script)."""
 
+import sys
+from pathlib import Path
+
+# runnable from a checkout without installation (sys.path[0] is tools/)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from twotowermlretrieval_tpu.tools.prepare_embeddings import main
 
 if __name__ == "__main__":

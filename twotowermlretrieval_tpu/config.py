@@ -145,8 +145,10 @@ class Config:
     # Per-leaf fixed-bin gradient/parameter HISTOGRAMS in the metric
     # stream (full wandb.watch parity — the reference logs histograms
     # every 50 batches, ref: backend/main.py:234). Same tri-state
-    # semantics as log_param_stats; histograms additionally bucket every
-    # gradient/param element (one extra pass per leaf on device).
+    # semantics as log_param_stats. Histograms bucket every grad/param
+    # element, so the driver computes them only in dispatch groups that
+    # cross a log_every_steps boundary (a second step executable; the
+    # steady-state step pays nothing).
     log_param_histograms: Optional[bool] = None
 
     # ------------------------------------------------------------------

@@ -61,6 +61,21 @@ _MAX_KERNEL_B = _SCORES_VMEM_BUDGET // (4 * _MIN_TILE_N)  # 2048
 _PHASE2_UNROLL_MAX_B = 32
 
 
+def _block_queries(fn, queries, *args, **kwargs):
+    """Bulk query batches beyond _MAX_KERNEL_B (where no VMEM-fitting
+    score tile exists) are split into per-block calls — one extra corpus
+    pass per block; still streaming, still no [B, N] matrix. Shared by
+    every kernel wrapper so the slicing/concat logic exists once."""
+    parts = [
+        fn(queries[i : i + _MAX_KERNEL_B], *args, **kwargs)
+        for i in range(0, queries.shape[0], _MAX_KERNEL_B)
+    ]
+    return (
+        jnp.concatenate([p[0] for p in parts]),
+        jnp.concatenate([p[1] for p in parts]),
+    )
+
+
 def _fit_tile_n(tile_n: int, B: int) -> int:
     """Largest tile_n <= requested (multiple of the minimum tile) whose
     [tile_n, B] f32 score tile fits the scoped-VMEM budget."""
@@ -246,16 +261,9 @@ def fused_topk(
     if k > N:
         raise ValueError(f"k={k} larger than corpus N={N}")
     if B > _MAX_KERNEL_B:
-        parts = [
-            fused_topk(
-                queries[i : i + _MAX_KERNEL_B], docs, k=k, tile_n=tile_n,
-                interpret=interpret, n_valid=n_valid,
-            )
-            for i in range(0, B, _MAX_KERNEL_B)
-        ]
-        return (
-            jnp.concatenate([p[0] for p in parts]),
-            jnp.concatenate([p[1] for p in parts]),
+        return _block_queries(
+            fused_topk, queries, docs, k=k, tile_n=tile_n,
+            interpret=interpret, n_valid=n_valid,
         )
     if not interpret:
         tile_n = _fit_tile_n(tile_n, B)  # [B, tile_n] f32 scores in VMEM
@@ -366,19 +374,9 @@ def fused_topk_segmax(
     if tile_n % _SEG:
         raise ValueError(f"tile_n={tile_n} must be a multiple of {_SEG}")
     if B > _MAX_KERNEL_B:
-        # bulk search wider than any VMEM-fitting tile: block the
-        # queries (one extra corpus pass per block — still streaming,
-        # still no [B, N] matrix)
-        parts = [
-            fused_topk_segmax(
-                queries[i : i + _MAX_KERNEL_B], docs, k=k, tile_n=tile_n,
-                interpret=interpret, n_valid=n_valid,
-            )
-            for i in range(0, B, _MAX_KERNEL_B)
-        ]
-        return (
-            jnp.concatenate([p[0] for p in parts]),
-            jnp.concatenate([p[1] for p in parts]),
+        return _block_queries(
+            fused_topk_segmax, queries, docs, k=k, tile_n=tile_n,
+            interpret=interpret, n_valid=n_valid,
         )
     if not interpret:
         # keep the [tile_n, B] f32 score tile inside the scoped-VMEM budget
@@ -508,16 +506,9 @@ def fused_topk_segmax_int8(
     if tile_n % _SEG:
         raise ValueError(f"tile_n={tile_n} must be a multiple of {_SEG}")
     if B > _MAX_KERNEL_B:
-        parts = [
-            fused_topk_segmax_int8(
-                queries[i : i + _MAX_KERNEL_B], doc_values, doc_scales,
-                k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid,
-            )
-            for i in range(0, B, _MAX_KERNEL_B)
-        ]
-        return (
-            jnp.concatenate([p[0] for p in parts]),
-            jnp.concatenate([p[1] for p in parts]),
+        return _block_queries(
+            fused_topk_segmax_int8, queries, doc_values, doc_scales,
+            k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid,
         )
     if not interpret:
         tile_n = _fit_tile_n(tile_n, B)
@@ -699,16 +690,9 @@ def fused_topk_segmax_s8(
             f"per-segment index malformed: N={N}, scales={seg_scales.shape[0]}"
         )
     if B > _MAX_KERNEL_B:
-        parts = [
-            fused_topk_segmax_s8(
-                queries[i : i + _MAX_KERNEL_B], doc_values, seg_scales,
-                k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid, seg=seg,
-            )
-            for i in range(0, B, _MAX_KERNEL_B)
-        ]
-        return (
-            jnp.concatenate([p[0] for p in parts]),
-            jnp.concatenate([p[1] for p in parts]),
+        return _block_queries(
+            fused_topk_segmax_s8, queries, doc_values, seg_scales,
+            k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid, seg=seg,
         )
     if not interpret:
         tile_n = _fit_tile_n(tile_n, B)
@@ -994,16 +978,9 @@ def fused_topk_int8(
     if k > N:
         raise ValueError(f"k={k} larger than corpus N={N}")
     if B > _MAX_KERNEL_B:
-        parts = [
-            fused_topk_int8(
-                queries[i : i + _MAX_KERNEL_B], doc_values, doc_scales,
-                k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid,
-            )
-            for i in range(0, B, _MAX_KERNEL_B)
-        ]
-        return (
-            jnp.concatenate([p[0] for p in parts]),
-            jnp.concatenate([p[1] for p in parts]),
+        return _block_queries(
+            fused_topk_int8, queries, doc_values, doc_scales,
+            k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid,
         )
     if not interpret:
         tile_n = _fit_tile_n(tile_n, B)

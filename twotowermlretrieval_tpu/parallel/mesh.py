@@ -59,6 +59,26 @@ def make_mesh(
     return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
 
 
+def resolve_mesh(data: int, model: int) -> Optional[Mesh]:
+    """Resolve (data, model) axis requests against the visible devices:
+    data=-1 claims all devices not on 'model'; a 1x1 request returns None
+    (single-device path). Shared by the training driver and the serving
+    CLI so the two cannot drift. When the mesh spans every device the
+    topology-aware make_mesh placement is used."""
+    n = len(jax.devices())
+    data = data if data != -1 else max(n // model, 1)
+    if data * model <= 1:
+        return None
+    if data * model > n:
+        raise ValueError(
+            f"mesh {data}x{model} needs {data * model} devices but only "
+            f"{n} are visible"
+        )
+    if data * model == n:
+        return make_mesh(data, model)  # topology-aware placement
+    return make_mesh(data, model, devices=jax.devices()[: data * model])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-dim batch split across 'data' (replicated over 'model')."""
     return NamedSharding(mesh, P(DATA_AXIS))

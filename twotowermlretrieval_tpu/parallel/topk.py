@@ -261,9 +261,14 @@ def shard_corpus_s8(doc_embeddings, mesh: Mesh):
 
     from twotowermlretrieval_tpu.ops.topk import quantize_segments
 
+    from twotowermlretrieval_tpu.ops.topk import _MIN_TILE_N
+
     num = mesh.shape[DATA_AXIS]
     N, H = doc_embeddings.shape
-    row_tile = 8192 if N >= num * 8192 else 128
+    # each shard must be a multiple of the kernel's MINIMUM tile (not just
+    # the 128-row segment): a smaller shard would re-pad itself inside
+    # every compiled search (review r3)
+    row_tile = 8192 if N >= num * 8192 else _MIN_TILE_N
     pad = (-N) % (num * row_tile)
     x = np.asarray(doc_embeddings, np.float32)
     if pad:

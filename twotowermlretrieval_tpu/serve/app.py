@@ -83,6 +83,11 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
             except (TypeError, ValueError):
                 self._send_json({"error": "bad Content-Length"}, 400)
                 return
+            if length < 0:
+                # rfile.read(negative) would read until EOF/timeout —
+                # unbounded buffering from one crafted request
+                self._send_json({"error": "bad Content-Length"}, 400)
+                return
             if length > _MAX_BODY_BYTES:
                 # reject without buffering: trusting Content-Length for the
                 # allocation lets one huge POST exhaust memory. The body is
@@ -183,23 +188,13 @@ def main():
 
 def build_serving_mesh(mesh_data: int = 1, mesh_model: int = 1):
     """('data', 'model') serving mesh, or None for the single-device path
-    (mirrors train.loop.build_mesh). The engine row-shards the corpus over
-    'data' and routes every search through parallel.topk.distributed_topk
-    / parallel.ivf.distributed_ivf_search."""
-    import jax
+    (same resolution as train.loop.build_mesh — parallel.mesh.resolve_mesh).
+    The engine row-shards the corpus over 'data' and routes every search
+    through parallel.topk.distributed_topk /
+    parallel.ivf.distributed_ivf_search."""
+    from twotowermlretrieval_tpu.parallel.mesh import resolve_mesh
 
-    from twotowermlretrieval_tpu.parallel.mesh import make_mesh
-
-    n = len(jax.devices())
-    data = mesh_data if mesh_data != -1 else max(n // mesh_model, 1)
-    if data * mesh_model <= 1:
-        return None
-    if data * mesh_model > n:
-        raise ValueError(
-            f"mesh {data}x{mesh_model} needs {data * mesh_model} devices "
-            f"but only {n} are visible"
-        )
-    return make_mesh(data, mesh_model, devices=jax.devices()[: data * mesh_model])
+    return resolve_mesh(mesh_data, mesh_model)
 
 
 if __name__ == "__main__":

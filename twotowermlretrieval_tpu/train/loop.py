@@ -80,18 +80,9 @@ def setup(config: Config):
 def build_mesh(config: Config):
     """('data', 'model') mesh from Config.mesh_data/mesh_model, or None for
     the single-device path. mesh_data=-1 claims all devices not on 'model'."""
-    from twotowermlretrieval_tpu.parallel.mesh import make_mesh
+    from twotowermlretrieval_tpu.parallel.mesh import resolve_mesh
 
-    n = len(jax.devices())
-    data = config.mesh_data if config.mesh_data != -1 else max(n // config.mesh_model, 1)
-    if data * config.mesh_model <= 1:
-        return None
-    if data * config.mesh_model > n:
-        raise ValueError(
-            f"mesh {data}x{config.mesh_model} needs {data * config.mesh_model} "
-            f"devices but only {n} are visible"
-        )
-    return make_mesh(data, config.mesh_model, devices=jax.devices()[: data * config.mesh_model])
+    return resolve_mesh(config.mesh_data, config.mesh_model)
 
 
 def _host_params(params, on_mesh: bool, mesh=None):
@@ -241,28 +232,49 @@ def train(
     # it. On remote-attached TPUs every dispatch/transfer is a round-trip;
     # k = config.steps_per_dispatch amortizes it.
     K = max(1, int(config.steps_per_dispatch))
-    if mesh is not None:
-        from twotowermlretrieval_tpu.parallel.distributed import (
-            make_sharded_packed_train_step,
-        )
 
-        # shard_map step (grad psum over 'data'; cross-device negatives /
-        # row-sharded tables per config) — same packed-buffer shape as the
-        # single-device path, composed with scan+jit identically below
-        packed_step = make_sharded_packed_train_step(
-            spec, config, mesh, state, config.max_query_len
-        )
+    def build_steps(step_config):
+        """(single-step jit, K-step scan jit) for one config variant."""
+        if mesh is not None:
+            from twotowermlretrieval_tpu.parallel.distributed import (
+                make_sharded_packed_train_step,
+            )
+
+            # shard_map step (grad psum over 'data'; cross-device
+            # negatives / row-sharded tables per config) — same
+            # packed-buffer shape as the single-device path, composed
+            # with scan+jit identically below
+            packed = make_sharded_packed_train_step(
+                spec, step_config, mesh, state, step_config.max_query_len
+            )
+        else:
+            raw_step = make_train_step(spec, step_config)
+
+            def packed(st, p):
+                return raw_step(st, unpack_batch(p, step_config.max_query_len))
+
+        single = jax.jit(packed, donate_argnums=(0,))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def multi(st, packed_stack):
+            return jax.lax.scan(packed, st, packed_stack)
+
+        return single, multi
+
+    # Histograms bucket EVERY grad/param element — far heavier than the
+    # step itself on embedding-scale tables — but they are only consumed
+    # at log boundaries (the reference's wandb.watch logs every 50
+    # batches, ref: backend/main.py:234). So the steady-state executable
+    # computes no histograms; dispatch groups that cross a log boundary
+    # run a second variant that does (one extra compile when enabled).
+    hist_enabled = bool(config.log_param_histograms)
+    train_step, train_multi_step = build_steps(
+        config.replace(log_param_histograms=False)
+    )
+    if hist_enabled:
+        train_step_hist, train_multi_step_hist = build_steps(config)
     else:
-        raw_step = make_train_step(spec, config)
-
-        def packed_step(st, packed):
-            return raw_step(st, unpack_batch(packed, config.max_query_len))
-
-    train_step = jax.jit(packed_step, donate_argnums=(0,))
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_multi_step(state, packed_stack):
-        return jax.lax.scan(packed_step, state, packed_stack)
+        train_step_hist, train_multi_step_hist = train_step, train_multi_step
 
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_epoch, skip_batches = 0, 0
@@ -308,9 +320,10 @@ def train(
         return out
 
     def scalar_metrics(m: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-        """Drop histogram vectors from the epoch-mean accumulator (summing
-        per-bin counts across an epoch is not a meaningful average)."""
-        return {k: v for k, v in m.items() if "hist/" not in k}
+        """Drop histogram vectors AND their range bounds from the
+        epoch-mean accumulator (neither per-bin counts nor absmax bounds
+        average meaningfully across an epoch)."""
+        return {k: v for k, v in m.items() if "hist/" not in k and "hist_max/" not in k}
 
     def packed_groups(batches):
         """Stack K same-shape packed buffers into ([k, B, W] array,
@@ -416,10 +429,17 @@ def train(
                 profile_ctx.__enter__()
                 profile_started_at = step
             t_step0 = None if first_dispatch_done else time.time()
+            # groups crossing a log boundary run the histogram variant so
+            # the fetched metrics carry the per-leaf histograms
+            crosses_log = (
+                step // config.log_every_steps != (step + k) // config.log_every_steps
+            )
             if k > 1:
-                state, metrics = train_multi_step(state, stack)
+                fn = train_multi_step_hist if crosses_log else train_multi_step
+                state, metrics = fn(state, stack)
             else:
-                state, metrics = train_step(state, stack[0])
+                fn = train_step_hist if crosses_log else train_step
+                state, metrics = fn(state, stack[0])
             prev_step = step
             step += k
             batch_index += k
