@@ -437,3 +437,34 @@ def test_segmax_s8_narrow_segments(rng, seg):
     )
     np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
     np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=1e-6, atol=1e-7)
+
+
+def test_effective_tile_never_exceeds_corpus():
+    """Small corpora/shards must not zero-pad themselves inside every
+    compiled call: the effective tile caps at the corpus rounded up to
+    the minimum tile (review r3)."""
+    from twotowermlretrieval_tpu.ops.topk import _MIN_TILE_N, _effective_tile_n
+
+    assert _effective_tile_n(8192, 8, 1_000_000) == 8192  # serving shape
+    assert _effective_tile_n(8192, 8, 1024) == 1024  # small shard: no pad
+    assert _effective_tile_n(8192, 8, 384) == _MIN_TILE_N  # min tile floor
+    assert _effective_tile_n(8192, 8, 5000) == 5120  # round up to 1024
+    # VMEM fit still applies first
+    assert _effective_tile_n(8192, 512, 1_000_000) * 512 * 4 <= 8 << 20
+
+
+def test_shard_corpus_s8_shards_are_tile_aligned():
+    """Sharded s8 corpora keep every shard a multiple of the kernel's
+    MINIMUM tile so searches never re-pad the shard in-call."""
+    from twotowermlretrieval_tpu.ops.topk import _MIN_TILE_N
+    from twotowermlretrieval_tpu.parallel.mesh import make_mesh
+    from twotowermlretrieval_tpu.parallel.topk import shard_corpus_s8
+
+    rng = np.random.default_rng(3)
+    docs = rng.standard_normal((3000, 16)).astype(np.float32)
+    mesh = make_mesh(data=8, model=1)
+    values, scales, n_valid = shard_corpus_s8(docs, mesh)
+    shard_rows = values.shape[0] // 8
+    assert n_valid == 3000
+    assert shard_rows % _MIN_TILE_N == 0
+    assert scales.shape[0] == values.shape[0] // 128

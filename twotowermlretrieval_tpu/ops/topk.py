@@ -83,6 +83,15 @@ def _fit_tile_n(tile_n: int, B: int) -> int:
     return max(min(tile_n, max_tile), _MIN_TILE_N)
 
 
+def _effective_tile_n(tile_n: int, B: int, N: int) -> int:
+    """Compiled tile size: VMEM-fitted, and never larger than the corpus
+    rounded up to the minimum tile — a shard smaller than the default
+    tile would otherwise zero-pad (re-copy) ITSELF inside every call,
+    scanning up to 8x the real rows (review r3)."""
+    fitted = _fit_tile_n(tile_n, B)
+    return max(min(fitted, -(-N // _MIN_TILE_N) * _MIN_TILE_N), _MIN_TILE_N)
+
+
 def use_streaming_kernel(
     B: int, N: int, use_pallas=None, quantized: bool = False, backend: str | None = None
 ) -> bool:
@@ -266,7 +275,7 @@ def fused_topk(
             interpret=interpret, n_valid=n_valid,
         )
     if not interpret:
-        tile_n = _fit_tile_n(tile_n, B)  # [B, tile_n] f32 scores in VMEM
+        tile_n = _effective_tile_n(tile_n, B, N)  # [B, tile_n] f32 scores in VMEM
 
     # pad corpus rows to a tile multiple (padding masked by n_valid)
     n_pad = (-N) % tile_n
@@ -381,7 +390,7 @@ def fused_topk_segmax(
     if not interpret:
         # keep the [tile_n, B] f32 score tile inside the scoped-VMEM budget
         # (B > ~256 at tile_n=8192 would fail Mosaic compilation)
-        tile_n = _fit_tile_n(tile_n, B)
+        tile_n = _effective_tile_n(tile_n, B, N)
 
     n_pad = (-N) % tile_n
     if n_pad:
@@ -511,7 +520,7 @@ def fused_topk_segmax_int8(
             k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid,
         )
     if not interpret:
-        tile_n = _fit_tile_n(tile_n, B)
+        tile_n = _effective_tile_n(tile_n, B, N)
 
     n_pad = (-N) % tile_n
     if n_pad:
@@ -695,7 +704,7 @@ def fused_topk_segmax_s8(
             k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid, seg=seg,
         )
     if not interpret:
-        tile_n = _fit_tile_n(tile_n, B)
+        tile_n = _effective_tile_n(tile_n, B, N)
     if tile_n % seg:
         raise ValueError(f"tile_n={tile_n} must be a multiple of seg={seg}")
 
@@ -983,7 +992,7 @@ def fused_topk_int8(
             k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid,
         )
     if not interpret:
-        tile_n = _fit_tile_n(tile_n, B)
+        tile_n = _effective_tile_n(tile_n, B, N)
 
     n_pad = (-N) % tile_n
     if n_pad:
