@@ -203,6 +203,73 @@ def test_http_health(server_url):
     assert data["status"] == "ok" and data["num_docs"] > 0
 
 
+def test_http_keepalive_reuses_connection(server_url):
+    """HTTP/1.1 keep-alive: several requests over ONE connection."""
+    import http.client
+
+    host, port = server_url.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        for q in ("t0w1", "t0w2", "t0w3"):
+            conn.request("POST", "/search", json.dumps({"query": q, "alpha": 0.5}),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200 and resp.version == 11
+            assert json.loads(resp.read())["query"] == q
+        conn.request("GET", "/health")
+        resp = conn.getresponse()
+        assert resp.status == 200 and json.loads(resp.read())["status"] == "ok"
+    finally:
+        conn.close()
+
+
+def test_http_keepalive_survives_undrained_error_paths(server_url):
+    """Error responses that skip body parsing must still drain (or close):
+    leftover body bytes would be misparsed as the next request line on the
+    persistent connection."""
+    import http.client
+
+    host, port = server_url.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        # POST with a body to an unknown path -> 404 without parsing the body
+        conn.request("POST", "/nope", json.dumps({"query": "x" * 300}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        # the SAME connection must still serve a clean search
+        conn.request("POST", "/search", json.dumps({"query": "t0w1", "alpha": 0.5}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["query"] == "t0w1"
+    finally:
+        conn.close()
+
+
+def test_http_chunked_body_rejected_and_connection_closed(server_url):
+    """Transfer-Encoding is not decoded by this server; the only safe
+    response is an error with Connection: close."""
+    import http.client
+
+    host, port = server_url.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.putrequest("POST", "/search")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()
+        body = json.dumps({"query": "t0w1"}).encode()
+        conn.send(b"%x\r\n%s\r\n0\r\n\r\n" % (len(body), body))
+        resp = conn.getresponse()
+        assert resp.status == 411
+        assert resp.getheader("Connection") == "close"
+        resp.read()
+    finally:
+        conn.close()
+
+
 # ---------------------------------------------------------------------------
 # simple hybrid retriever
 # ---------------------------------------------------------------------------

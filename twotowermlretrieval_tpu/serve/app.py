@@ -45,11 +45,21 @@ _REQUEST_TIMEOUT_S = 30.0  # socket timeout: a slow-loris client cannot pin
 def make_handler(engine: SearchEngine, ui_path: Path | None):
     class Handler(BaseHTTPRequestHandler):
         timeout = _REQUEST_TIMEOUT_S  # applies to the request socket
+        # HTTP/1.1 keep-alive: the stdlib default (1.0) closes the
+        # connection per request, taxing every search with a TCP setup.
+        # Every response path goes through _send (always sets
+        # Content-Length), and every handler drains or closes on bodies
+        # it does not consume (_discard_body) so leftover bytes can't be
+        # misparsed as the next request on the persistent connection.
+        protocol_version = "HTTP/1.1"
 
         def _send(self, code: int, body: bytes, content_type: str):
             self.send_response(code)
             self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # tell the client instead of just dropping the socket
+                self.send_header("Connection", "close")
             # permissive CORS (ref: frontend/main.py:84-91)
             self.send_header("Access-Control-Allow-Origin", "*")
             self.send_header("Access-Control-Allow-Methods", "*")
@@ -60,10 +70,35 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
         def _send_json(self, payload, code: int = 200):
             self._send(code, json.dumps(payload).encode(), "application/json")
 
+        def _discard_body(self):
+            """Consume an unread request body so leftover bytes are not
+            parsed as the next request on this keep-alive connection;
+            closes the connection when the length is unknown/oversized."""
+            if "Transfer-Encoding" in self.headers:
+                # chunked bodies are not decoded by this server — the
+                # only safe recovery is to drop the connection
+                self.close_connection = True
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                length = -1
+            if 0 <= length <= _MAX_BODY_BYTES:
+                remaining = length
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 16))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+            else:
+                self.close_connection = True
+
         def do_OPTIONS(self):  # CORS preflight
+            self._discard_body()
             self._send(204, b"", "text/plain")
 
         def do_GET(self):
+            self._discard_body()  # a GET with a body must not poison keep-alive
             if self.path in ("/", "/index.html"):
                 if ui_path and ui_path.exists():
                     self._send(200, ui_path.read_bytes(), "text/html")
@@ -76,16 +111,24 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
 
         def do_POST(self):
             if self.path != "/search":
+                self._discard_body()
                 self._send_json({"error": "not found"}, 404)
+                return
+            if "Transfer-Encoding" in self.headers:
+                # not decoded here; body framing unknown -> can't keep alive
+                self.close_connection = True
+                self._send_json({"error": "chunked bodies not supported"}, 411)
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
             except (TypeError, ValueError):
+                self.close_connection = True  # body extent unknown
                 self._send_json({"error": "bad Content-Length"}, 400)
                 return
             if length < 0:
                 # rfile.read(negative) would read until EOF/timeout —
                 # unbounded buffering from one crafted request
+                self.close_connection = True
                 self._send_json({"error": "bad Content-Length"}, 400)
                 return
             if length > _MAX_BODY_BYTES:
