@@ -54,8 +54,15 @@ def _launch_pair(corpus_dir, out, extra_args=()):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PYTEST_CURRENT_TEST", None)
-    procs = []
+    # stdout goes to FILES, not pipes: the parent waits on the processes
+    # sequentially while both run one SPMD program — if process 1 filled a
+    # ~64 KB stdout pipe mid-collective while the parent still blocked on
+    # process 0, both children would deadlock until the timeout.
+    procs, logs = [], []
+    out.mkdir(parents=True, exist_ok=True)
     for pid in range(2):
+        log = open(out / f"proc{pid}.log", "w+")
+        logs.append(log)
         procs.append(
             subprocess.Popen(
                 [
@@ -69,19 +76,25 @@ def _launch_pair(corpus_dir, out, extra_args=()):
                     "--mesh-model", str(MESH[1]),
                     *extra_args,
                 ],
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                stdout=log, stderr=subprocess.STDOUT,
                 env=env, cwd=ROOT, text=True,
             )
         )
     outputs = []
     try:
         for p in procs:
-            stdout, _ = p.communicate(timeout=900)
-            outputs.append(stdout)
+            p.wait(timeout=900)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        for p in procs:
+            p.wait(timeout=60)
+        for log in logs:
+            log.flush()
+            log.seek(0)
+            outputs.append(log.read())
+            log.close()
     results = []
     for i, (p, stdout) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {i} failed:\n{stdout[-4000:]}"

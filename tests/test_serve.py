@@ -500,6 +500,30 @@ def test_http_request_body_cap(server_url):
     assert status == 200
 
 
+def test_http_huge_content_length_closes_without_draining(server_url):
+    """A crafted multi-GB Content-Length must not pin the handler thread in
+    a drain loop (the socket timeout only bounds gaps between reads): the
+    server answers 413 immediately and closes the connection."""
+    import http.client
+    import time
+
+    host, port = server_url.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        t0 = time.time()
+        conn.putrequest("POST", "/search")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(1 << 40))  # 1 TB, never sent
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert resp.getheader("Connection") == "close"
+        resp.read()
+        assert time.time() - t0 < 10  # no drain attempt on the declared TB
+    finally:
+        conn.close()
+
+
 # ---------------------------------------------------------------------------
 # mesh-backed serving over HTTP (BASELINE config 4: sharded-corpus serving)
 # ---------------------------------------------------------------------------

@@ -36,6 +36,39 @@ def _encode_document_packed(params, packed, spec):
     return encode_document(params, packed[:, :-1], packed[:, -1], spec)
 
 
+def run_batched_encode(texts, tokenizer, max_len, bs, hidden_dim, dispatch):
+    """The shared tokenize->dispatch->chunked-fetch loop behind both
+    TextEncoder and parallel.distributed.MeshTextEncoder.
+
+    ``dispatch(packed_int32) -> device [bs, H]`` hides the placement
+    difference (single-device jit vs mesh shard_map). Batches are
+    dispatched asynchronously and fetched in ~64 MB concatenated chunks:
+    per-batch np.asarray fetches dominate wall time on remote-attached
+    TPUs, while an unbounded [N, H] resident would OOM at corpus scale.
+    Padding rows are dropped on host via the tokenizer masks.
+    """
+    batches_per_chunk = max(1, (64 << 20) // (4 * hidden_dim * bs))
+    host_chunks, dev_outs, masks = [], [], []
+
+    def flush():
+        if dev_outs:
+            host_chunks.append(np.asarray(jnp.concatenate(dev_outs, axis=0)))
+            dev_outs.clear()
+
+    for tokens, lengths, mask in tokenize_corpus(texts, tokenizer, max_len, bs):
+        packed = np.concatenate(
+            [tokens, lengths[:, None].astype(np.int32)], axis=1
+        )
+        dev_outs.append(dispatch(packed))
+        masks.append(mask.astype(bool))
+        if len(dev_outs) >= batches_per_chunk:
+            flush()
+    flush()
+    if not host_chunks:
+        return np.zeros((0, hidden_dim), np.float32)
+    return np.concatenate(host_chunks, axis=0)[np.concatenate(masks)]
+
+
 class TextEncoder:
     def __init__(
         self,
@@ -69,31 +102,10 @@ class TextEncoder:
             bs = 128
         else:
             bs = self.corpus_batch_size
-        # Dispatch batches asynchronously, keep results on device, and
-        # fetch in large concatenated chunks: host round-trips cost ~tens
-        # of ms on remote-attached TPUs, so per-batch np.asarray fetches
-        # dominate wall time — while holding an unbounded [N, H] resident
-        # on device would OOM for corpus-scale encodes. ~64 MB per chunk.
-        chunk_rows = max(1, (64 << 20) // (4 * self.spec.hidden_dim * bs))
-        host_chunks, dev_outs, masks = [], [], []
-
-        def flush():
-            if dev_outs:
-                host_chunks.append(np.asarray(jnp.concatenate(dev_outs, axis=0)))
-                dev_outs.clear()
-
-        for tokens, lengths, mask in tokenize_corpus(texts, self.tokenizer, max_len, bs):
-            packed = np.concatenate(
-                [tokens, lengths[:, None].astype(np.int32)], axis=1
-            )
-            dev_outs.append(fn(self.params, jnp.asarray(packed), self.spec))
-            masks.append(mask.astype(bool))
-            if len(dev_outs) >= chunk_rows:
-                flush()
-        flush()
-        if not host_chunks:
-            return np.zeros((0, self.spec.hidden_dim), np.float32)
-        return np.concatenate(host_chunks, axis=0)[np.concatenate(masks)]
+        return run_batched_encode(
+            texts, self.tokenizer, max_len, bs, self.spec.hidden_dim,
+            lambda packed: fn(self.params, jnp.asarray(packed), self.spec),
+        )
 
     def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
         """[N, H] query-tower embeddings (ref: query_inferencer.py:59-75,

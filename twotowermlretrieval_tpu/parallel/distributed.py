@@ -316,41 +316,21 @@ class MeshTextEncoder:
         self._q_fn, self._d_fn = make_sharded_encode_fns(spec, config, mesh, state)
 
     def _run(self, texts, fn, max_len):
-        import numpy as np
+        from twotowermlretrieval_tpu.encoder import run_batched_encode
+        from twotowermlretrieval_tpu.parallel.mesh import put_global
 
-        from twotowermlretrieval_tpu.data.batching import tokenize_corpus
-
+        # same fixed-bucket rule as TextEncoder._run, with each bucket
+        # rounded up to split evenly over the 'data' axis
         if len(texts) <= self._bucket_small:
             bs = self._bucket_small
         elif len(texts) <= self._bucket_mid:
             bs = self._bucket_mid
         else:
             bs = self.corpus_batch_size
-        # same chunked-fetch discipline as TextEncoder._run: dispatch async,
-        # fetch concatenated ~64 MB chunks, drop padding rows on host
-        chunk_rows = max(1, (64 << 20) // (4 * self.spec.hidden_dim * bs))
-        host_chunks, dev_outs, masks = [], [], []
-        import jax.numpy as jnp
-
-        def flush():
-            if dev_outs:
-                host_chunks.append(np.asarray(jnp.concatenate(dev_outs, axis=0)))
-                dev_outs.clear()
-
-        for tokens, lengths, mask in tokenize_corpus(texts, self.tokenizer, max_len, bs):
-            packed = np.concatenate(
-                [tokens, lengths[:, None].astype(np.int32)], axis=1
-            )
-            from twotowermlretrieval_tpu.parallel.mesh import put_global
-
-            dev_outs.append(fn(self.state, put_global(packed, self._batch_sharding)))
-            masks.append(mask.astype(bool))
-            if len(dev_outs) >= chunk_rows:
-                flush()
-        flush()
-        if not host_chunks:
-            return np.zeros((0, self.spec.hidden_dim), np.float32)
-        return np.concatenate(host_chunks, axis=0)[np.concatenate(masks)]
+        return run_batched_encode(
+            texts, self.tokenizer, max_len, bs, self.spec.hidden_dim,
+            lambda packed: fn(self.state, put_global(packed, self._batch_sharding)),
+        )
 
     def encode_queries(self, texts):
         return self._run(texts, self._q_fn, self.max_query_len)

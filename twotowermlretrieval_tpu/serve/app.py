@@ -133,16 +133,24 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
                 return
             if length > _MAX_BODY_BYTES:
                 # reject without buffering: trusting Content-Length for the
-                # allocation lets one huge POST exhaust memory. The body is
-                # drained in fixed-size chunks (bounded memory, bounded by
-                # the socket timeout) so the client can finish writing and
-                # read the 413 instead of a connection reset.
-                remaining = length
-                while remaining > 0:
-                    chunk = self.rfile.read(min(remaining, 1 << 16))
-                    if not chunk:
-                        break
-                    remaining -= len(chunk)
+                # allocation lets one huge POST exhaust memory. Drain at
+                # most one cap's worth in fixed-size chunks so a modestly
+                # oversized client can still read the 413 on a live
+                # connection; beyond that, close — an unbounded drain loop
+                # would let one crafted Content-Length (the socket timeout
+                # only bounds gaps between reads, not total duration) pin
+                # this handler thread and ingest arbitrary bytes.
+                if length > 2 * _MAX_BODY_BYTES:
+                    self.close_connection = True
+                else:
+                    remaining = length
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 16))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                    if remaining > 0:  # client hung up mid-body
+                        self.close_connection = True
                 self._send_json(
                     {"error": f"request body exceeds {_MAX_BODY_BYTES} bytes"}, 413
                 )

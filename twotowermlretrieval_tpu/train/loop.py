@@ -112,6 +112,13 @@ def train(
     profile_dir: Optional[str | Path] = None,
 ) -> Dict[str, Any]:
     config, tokenizer, table = setup(config)
+    # Multi-process runs compute identical replicated metrics on every
+    # host; only process 0 may own the sinks, or N wandb.init calls create
+    # N duplicate W&B runs and the JSONL/stdout stream is emitted N-fold.
+    # NOTE: the config-derived stats toggles below must keep using the
+    # caller's use_wandb — they shape the compiled step, which has to be
+    # identical on every SPMD process; only the SINKS are lead-gated.
+    is_lead_process = jax.process_count() == 1 or jax.process_index() == 0
     if config.log_param_stats is None:
         # wandb.watch parity: per-leaf grad/param norms ride the metric
         # stream whenever W&B logging is active (ref: backend/main.py:234).
@@ -151,7 +158,9 @@ def train(
         # remote-TPU startup and an HBM spike just to discard them
         from twotowermlretrieval_tpu.utils.pytree import load_params_npz
 
-        logger = MetricLogger(use_wandb=use_wandb, wandb_config=config.to_dict(), run_name=run_name)
+        logger = MetricLogger(use_wandb=use_wandb and is_lead_process,
+                              stdout=is_lead_process,
+                              wandb_config=config.to_dict(), run_name=run_name)
         encoder = TextEncoder(
             load_params_npz(model_path), host_spec, tokenizer,
             batch_size=config.batch_size,
@@ -181,7 +190,9 @@ def train(
             shard_transformer_from_config(config),
         )
 
-    logger = MetricLogger(use_wandb=use_wandb, wandb_config=config.to_dict(), run_name=run_name)
+    logger = MetricLogger(use_wandb=use_wandb and is_lead_process,
+                          stdout=is_lead_process,
+                          wandb_config=config.to_dict(), run_name=run_name)
     results: Dict[str, Any] = {"run_name": logger.run_name}
 
     if mesh is not None:
