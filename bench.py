@@ -298,7 +298,26 @@ def bench_retrieval():
             f"{sol / max(t, 1e-12) * 100:.0f}% of SOL)")
 
 
+def _arm_watchdog(seconds=1800):
+    """Fail fast with a diagnostic instead of hanging forever when the
+    remote-attached TPU relay is unreachable (observed: jax.devices()
+    blocks indefinitely while the relay is down). A healthy run finishes
+    in well under this budget even with cold compiles."""
+    import faulthandler
+    import signal
+
+    def on_timeout(signum, frame):
+        faulthandler.dump_traceback(file=sys.stderr)
+        log(f"bench watchdog: no result after {seconds}s — "
+            "TPU relay unresponsive? aborting without a JSON line")
+        sys.exit(2)
+
+    signal.signal(signal.SIGALRM, on_timeout)
+    signal.alarm(seconds)
+
+
 def main():
+    _arm_watchdog()
     rng = np.random.default_rng(SEED)
     table = (rng.standard_normal((VOCAB, EMBED_DIM)) * 0.1).astype(np.float32)
     host_batch = make_host_batch(rng)
