@@ -275,6 +275,37 @@ def test_http_chunked_body_rejected_and_connection_closed(server_url):
 # ---------------------------------------------------------------------------
 
 
+def test_response_cache(artifacts_dir):
+    """cache_size>0: a repeated (query, alpha) skips the dense path, a
+    different alpha misses, and the LRU evicts beyond its capacity."""
+    from twotowermlretrieval_tpu.serve.engine import SearchEngine
+
+    eng = SearchEngine(artifacts_dir, storage_dtype="float32", use_pallas=False,
+                       cache_size=2)
+    calls = {"n": 0}
+    orig = eng._dense_search
+
+    def counting(query, fanout):
+        calls["n"] += 1
+        return orig(query, fanout)
+
+    eng._dense_search = counting
+    first = eng.search("t0w1 t0w2", alpha=0.5)
+    again = eng.search("t0w1 t0w2", alpha=0.5)
+    assert calls["n"] == 1  # second request served from cache
+    assert again["results"] == first["results"]
+    eng.search("t0w1 t0w2", alpha=0.7)  # different alpha -> miss
+    assert calls["n"] == 2
+    eng.search("t5w1", alpha=0.5)  # third distinct key evicts the oldest
+    assert calls["n"] == 3
+    eng.search("t0w1 t0w2", alpha=0.5)  # evicted -> recomputed
+    assert calls["n"] == 4
+
+    # cache off (default): every request hits the dense path
+    eng_off = SearchEngine(artifacts_dir, storage_dtype="float32", use_pallas=False)
+    assert eng_off._cache is None
+
+
 def test_simple_hybrid(artifacts_dir):
     docs = [
         "t0w1 t0w2 t0w3 machine learning",

@@ -211,6 +211,11 @@ def main():
                              "at startup")
     parser.add_argument("--nprobe", type=int, default=16,
                         help="ivf probe width (recall/latency trade-off)")
+    parser.add_argument("--cache-size", type=int, default=0,
+                        help="LRU response cache entries (0 = off): repeat "
+                             "(query, alpha) requests skip both device "
+                             "dispatches; safe because engine state is "
+                             "read-only after startup")
     parser.add_argument("--warmup", action=argparse.BooleanOptionalAction,
                         default=None,
                         help="compile the search path before accepting "
@@ -233,6 +238,7 @@ def main():
         index_type=args.index_type,
         nprobe=args.nprobe,
         warmup=args.warmup,
+        cache_size=args.cache_size,
         mesh=build_serving_mesh(args.mesh_data, args.mesh_model),
     ).serve_forever()
 
