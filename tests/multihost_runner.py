@@ -33,6 +33,7 @@ def main() -> None:
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--checkpoint-every-steps", type=int, default=500)
+    parser.add_argument("--tower-type", default="rnn", choices=["rnn", "transformer"])
     args = parser.parse_args()
 
     import jax
@@ -57,6 +58,13 @@ def main() -> None:
     from twotowermlretrieval_tpu.data.synthetic import synthetic_config
     from twotowermlretrieval_tpu.train.loop import train
 
+    tower_kwargs = {}
+    if args.tower_type == "transformer":
+        # Megatron TP over the 'model' axis, composed with DP +
+        # cross-device negatives — the BASELINE config 5 shape, here
+        # exercised across two OS processes
+        tower_kwargs = dict(tower_type="transformer", num_heads=2, ffn_dim=32,
+                            num_layers=2)
     config = synthetic_config(
         Path(args.corpus),
         hidden_dim=16, lr=5e-3, epochs=args.epochs, batch_size=16, dropout=0.0,
@@ -64,6 +72,7 @@ def main() -> None:
         shard_embedding_table=True,
         loss_type="triplet+in_batch", cross_device_negatives=True, seed=0,
         checkpoint_every_steps=args.checkpoint_every_steps,
+        **tower_kwargs,
     )
     res = train(
         config, output_root=args.out, run_name=f"mh-{args.process_id}",

@@ -162,6 +162,20 @@ def test_process_zero_exports_artifacts(two_process_results):
     assert hit["results"] and np.isfinite(hit["results"][0]["score"])
 
 
+def test_two_process_transformer_tp(corpus_dir, tmp_path_factory):
+    """Megatron-TP transformer towers (BASELINE config 5) across two OS
+    processes: column/row-sharded attention+FFN over 'model', composed
+    with DP + cross-device negatives + the row-sharded embedding table.
+    Both processes must report the identical replicated loss."""
+    out = tmp_path_factory.mktemp("mh_tp")
+    r0, r1 = _launch_pair(
+        corpus_dir, out, ("--epochs", "1", "--tower-type", "transformer")
+    )
+    assert np.isfinite(r0["avg_train_loss"])
+    assert r0["avg_train_loss"] == pytest.approx(r1["avg_train_loss"], rel=1e-6)
+    assert r0["batch_MRR"] == pytest.approx(r1["batch_MRR"], rel=1e-6)
+
+
 def test_two_process_checkpoint_resume(corpus_dir, tmp_path_factory):
     """Distributed (Orbax) checkpointing across the process boundary:
     run 1 saves mid-training checkpoints from BOTH processes (process 0
