@@ -203,6 +203,33 @@ def test_http_health(server_url):
     assert data["status"] == "ok" and data["num_docs"] > 0
 
 
+def test_http_metrics_endpoint(server_url):
+    """GET /metrics exposes Prometheus-format request counters, a latency
+    histogram, and engine counters (searches, cache hits, corpus size)."""
+    _post(server_url, {"query": "t0w1 metrics-probe", "alpha": 0.5})
+    with urllib.request.urlopen(server_url + "/metrics") as resp:
+        body = resp.read().decode()
+    assert resp.status == 200
+    assert 'ttr_http_requests_total{path="/search",code="200"}' in body
+    assert 'ttr_http_request_seconds_bucket{le="+Inf"}' in body
+    assert "ttr_http_request_seconds_count" in body
+    assert "ttr_searches_total" in body and "ttr_cache_hits_total" in body
+    assert "ttr_index_num_docs" in body
+    # histogram totals are consistent: +Inf bucket == count
+    inf = [l for l in body.splitlines() if 'le="+Inf"' in l][0]
+    count = [l for l in body.splitlines() if l.startswith("ttr_http_request_seconds_count")][0]
+    assert inf.rsplit(" ", 1)[1] == count.rsplit(" ", 1)[1]
+    # searches_total grows with another request
+    _post(server_url, {"query": "t0w2 metrics-probe", "alpha": 0.5})
+    with urllib.request.urlopen(server_url + "/metrics") as resp:
+        body2 = resp.read().decode()
+
+    def _val(text, name):
+        return int([l for l in text.splitlines() if l.startswith(name + " ")][0].split()[1])
+
+    assert _val(body2, "ttr_searches_total") == _val(body, "ttr_searches_total") + 1
+
+
 def test_http_keepalive_reuses_connection(server_url):
     """HTTP/1.1 keep-alive: several requests over ONE connection."""
     import http.client

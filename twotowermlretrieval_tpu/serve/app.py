@@ -43,6 +43,10 @@ _REQUEST_TIMEOUT_S = 30.0  # socket timeout: a slow-loris client cannot pin
 
 
 def make_handler(engine: SearchEngine, ui_path: Path | None):
+    from twotowermlretrieval_tpu.serve.telemetry import ServerMetrics
+
+    metrics = ServerMetrics()
+
     class Handler(BaseHTTPRequestHandler):
         timeout = _REQUEST_TIMEOUT_S  # applies to the request socket
         # HTTP/1.1 keep-alive: the stdlib default (1.0) closes the
@@ -54,6 +58,12 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
         protocol_version = "HTTP/1.1"
 
         def _send(self, code: int, body: bytes, content_type: str):
+            if self.path != "/metrics":  # scrapes don't meter themselves
+                import time as _time
+
+                metrics.observe(
+                    self.path, code, _time.monotonic() - self._t_start
+                )
             self.send_response(code)
             self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(body)))
@@ -93,11 +103,29 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
             else:
                 self.close_connection = True
 
+        _t_start = 0.0  # set per dispatch; class default guards error paths
+
+        def handle_one_request(self):
+            # the latency clock must NOT include keep-alive idle time
+            # (handle_one_request blocks on the next request line), so the
+            # do_* dispatch inside super() re-stamps; this stamp covers
+            # parse errors that respond before reaching a do_* method
+            import time as _time
+
+            self._t_start = _time.monotonic()
+            super().handle_one_request()
+
         def do_OPTIONS(self):  # CORS preflight
+            import time as _time
+
+            self._t_start = _time.monotonic()
             self._discard_body()
             self._send(204, b"", "text/plain")
 
         def do_GET(self):
+            import time as _time
+
+            self._t_start = _time.monotonic()
             self._discard_body()  # a GET with a body must not poison keep-alive
             if self.path in ("/", "/index.html"):
                 if ui_path and ui_path.exists():
@@ -106,10 +134,21 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
                     self._send(404, b"<h1>Frontend not found</h1>", "text/html")
             elif self.path == "/health":
                 self._send_json({"status": "ok", "num_docs": engine.index.num_docs})
+            elif self.path == "/metrics":
+                extra = {
+                    f"ttr_{name}": ("counter", value)
+                    for name, value in engine.counters().items()
+                }
+                extra["ttr_index_num_docs"] = ("gauge", engine.index.num_docs)
+                self._send(200, metrics.render(extra).encode(),
+                           "text/plain; version=0.0.4")
             else:
                 self._send_json({"error": "not found"}, 404)
 
         def do_POST(self):
+            import time as _time
+
+            self._t_start = _time.monotonic()
             if self.path != "/search":
                 self._discard_body()
                 self._send_json({"error": "not found"}, 404)

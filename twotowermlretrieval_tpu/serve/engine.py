@@ -128,6 +128,9 @@ class SearchEngine:
         )
         self._cache_size = cache_size
         self._cache_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self._searches = 0
+        self._cache_hits = 0
         # Compile the dense search path before serving: the first search
         # otherwise pays XLA compilation (6-60 s through a remote relay),
         # which can starve micro-batch followers past their wait deadline.
@@ -137,6 +140,14 @@ class SearchEngine:
         if warmup:
             for bucket in self._BATCH_BUCKETS:
                 self._dense_batch([{"query": "warmup", "fanout": 50}] * bucket)
+
+    def counters(self) -> Dict[str, int]:
+        """Engine-level counters for the /metrics surface."""
+        with self._stats_lock:
+            return {
+                "searches_total": self._searches,
+                "cache_hits_total": self._cache_hits,
+            }
 
     # Micro-batch sizes are bucketed so each concurrency level does not
     # compile a fresh query-tower executable (the index pads internally;
@@ -191,6 +202,9 @@ class SearchEngine:
                 if key in self._cache:
                     self._cache.move_to_end(key)
                     results = self._cache[key]
+        with self._stats_lock:
+            self._searches += 1
+            self._cache_hits += results is not None
         if results is None:
             if alpha == 0.0:
                 results = self._keyword_search(query, top_k)
