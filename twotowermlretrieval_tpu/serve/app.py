@@ -270,7 +270,7 @@ def main():
                              "for sharded towers; corpus sharding uses "
                              "'data')")
     args = parser.parse_args()
-    serve(
+    server = serve(
         args.artifacts, port=args.port, host=args.host,
         batch_window_ms=args.batch_window_ms,
         storage_dtype=args.storage_dtype,
@@ -279,7 +279,22 @@ def main():
         warmup=args.warmup,
         cache_size=args.cache_size,
         mesh=build_serving_mesh(args.mesh_data, args.mesh_model),
-    ).serve_forever()
+    )
+
+    # graceful shutdown: docker stop / Ctrl-C finish in-flight requests
+    # instead of dying mid-response (shutdown() stops the accept loop;
+    # handler threads already running complete)
+    import signal
+    import threading
+
+    def _stop(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
+    server.serve_forever()
+    server.server_close()
+    print("server stopped")
 
 
 def build_serving_mesh(mesh_data: int = 1, mesh_model: int = 1):
