@@ -37,8 +37,11 @@ def run_load(
     concurrency: int,
     alpha: float,
     timeout_s: float = 30.0,
+    indices=None,
 ):
     """Fire ``num_requests`` searches from ``concurrency`` threads.
+    ``indices`` (optional) maps request number -> query index, for skewed
+    workloads; default is round-robin over ``queries``.
     Returns (client_latencies_ms, server_took_ms, errors, wall_seconds)."""
     lock = threading.Lock()
     latencies, server_ms, errors = [], [], []
@@ -51,8 +54,9 @@ def run_load(
                 if i >= num_requests:
                     return
                 counter["next"] = i + 1
+            qi = indices[i] if indices is not None else i % len(queries)
             body = json.dumps(
-                {"query": queries[i % len(queries)], "alpha": alpha}
+                {"query": queries[qi], "alpha": alpha}
             ).encode()
             req = urllib.request.Request(
                 url.rstrip("/") + "/search", data=body,
@@ -113,6 +117,11 @@ def main():
                         help="one query per line; default: a small synthetic set")
     parser.add_argument("--warmup", type=int, default=5,
                         help="untimed warmup requests (compile the search path)")
+    parser.add_argument("--zipf", type=float, default=0.0,
+                        help="draw queries from a Zipf(s) distribution "
+                             "instead of round-robin — a realistic repeat-"
+                             "heavy workload for measuring --cache-size "
+                             "(try 1.1); 0 = round-robin")
     args = parser.parse_args()
 
     if args.queries_file:
@@ -123,10 +132,19 @@ def main():
     if not queries:
         raise SystemExit("no queries to send")
 
+    indices = None
+    if args.zipf > 0:
+        import random
+
+        rng = random.Random(0)
+        weights = [1.0 / (r + 1) ** args.zipf for r in range(len(queries))]
+        indices = rng.choices(range(len(queries)), weights=weights,
+                              k=args.requests)
     if args.warmup:
         run_load(args.url, queries, args.warmup, 1, args.alpha)
     latencies, server_ms, errors, wall = run_load(
-        args.url, queries, args.requests, args.concurrency, args.alpha
+        args.url, queries, args.requests, args.concurrency, args.alpha,
+        indices=indices,
     )
     summary = summarize(latencies, server_ms, errors, wall, args.concurrency)
     print(json.dumps(summary, indent=2))
