@@ -230,6 +230,19 @@ def test_http_metrics_endpoint(server_url):
     assert _val(body2, "ttr_searches_total") == _val(body, "ttr_searches_total") + 1
 
 
+def test_http_metrics_bounded_path_cardinality(server_url):
+    """Client-controlled paths must not mint unbounded metric labels."""
+    for i in range(3):
+        try:
+            urllib.request.urlopen(server_url + f"/made-up-path-{i}")
+        except urllib.error.HTTPError:
+            pass
+    with urllib.request.urlopen(server_url + "/metrics") as resp:
+        body = resp.read().decode()
+    assert "made-up-path" not in body
+    assert 'path="other"' in body
+
+
 def test_http_keepalive_reuses_connection(server_url):
     """HTTP/1.1 keep-alive: several requests over ONE connection."""
     import http.client

@@ -57,12 +57,17 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
         # misparsed as the next request on the persistent connection.
         protocol_version = "HTTP/1.1"
 
+        _KNOWN_PATHS = frozenset(("/", "/index.html", "/health", "/search"))
+
         def _send(self, code: int, body: bytes, content_type: str):
             if self.path != "/metrics":  # scrapes don't meter themselves
                 import time as _time
 
+                # label cardinality must stay bounded: the path is
+                # client-controlled, so anything unknown buckets together
+                path = self.path if self.path in self._KNOWN_PATHS else "other"
                 metrics.observe(
-                    self.path, code, _time.monotonic() - self._t_start
+                    path, code, _time.monotonic() - self._t_start
                 )
             self.send_response(code)
             self.send_header("Content-Type", content_type)
