@@ -299,24 +299,54 @@ def bench_retrieval():
 
 
 def _arm_watchdog(seconds=1800):
-    """Fail fast with a diagnostic instead of hanging forever when the
-    remote-attached TPU relay is unreachable (observed: jax.devices()
-    blocks indefinitely while the relay is down). A healthy run finishes
-    in well under this budget even with cold compiles."""
+    """Secondary guard against Python-level stalls. NOTE: this cannot
+    catch the worst failure mode — when the remote TPU relay is down,
+    jax.devices() blocks in a C-level connection wait and SIGALRM
+    handlers never run (observed 2026-08-17). That case is covered by
+    the SUBPROCESS probe in _require_live_backend(), which runs before
+    this process ever touches JAX."""
     import faulthandler
     import signal
 
     def on_timeout(signum, frame):
         faulthandler.dump_traceback(file=sys.stderr)
-        log(f"bench watchdog: no result after {seconds}s — "
-            "TPU relay unresponsive? aborting without a JSON line")
+        log(f"bench watchdog: no result after {seconds}s — aborting "
+            "without a JSON line")
         sys.exit(2)
 
     signal.signal(signal.SIGALRM, on_timeout)
     signal.alarm(seconds)
 
 
+def _require_live_backend(timeout_s=180.0):
+    """Probe the default JAX backend in a subprocess with a hard timeout.
+
+    A wedged relay blocks jax.devices() in C code where no in-process
+    watchdog (SIGALRM included) can fire; probing in a child process is
+    the only reliable detection. Exits 2 with a diagnostic instead of
+    hanging the driver for the round."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            platform = out.stdout.strip().splitlines()[-1]
+            log(f"backend probe: default platform '{platform}' is live")
+            return
+        log(f"backend probe failed (rc={out.returncode}): "
+            f"{out.stderr.strip()[-400:]}")
+    except subprocess.TimeoutExpired:
+        log(f"backend probe timed out after {timeout_s:.0f}s — TPU relay "
+            "unresponsive; aborting without a JSON line")
+    sys.exit(2)
+
+
 def main():
+    _require_live_backend()
     _arm_watchdog()
     rng = np.random.default_rng(SEED)
     table = (rng.standard_normal((VOCAB, EMBED_DIM)) * 0.1).astype(np.float32)

@@ -147,15 +147,20 @@ def test_engine_oov_query(engine):
 
 
 @pytest.fixture(scope="module")
-def server_url(artifacts_dir):
+def running_server(artifacts_dir):
     from twotowermlretrieval_tpu.serve.app import serve
 
     server = serve(str(artifacts_dir), port=0, host="127.0.0.1",
                    storage_dtype="float32", use_pallas=False)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
-    yield f"http://127.0.0.1:{server.server_address[1]}"
+    yield server
     server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def server_url(running_server):
+    return f"http://127.0.0.1:{running_server.server_address[1]}"
 
 
 def _post(url, payload):
@@ -593,6 +598,63 @@ def test_http_huge_content_length_closes_without_draining(server_url):
         assert time.time() - t0 < 10  # no drain attempt on the declared TB
     finally:
         conn.close()
+
+
+def test_http_unsupported_method_metered(server_url):
+    """stdlib send_error paths (e.g. 501 unsupported method) must show up
+    in /metrics — they bypass _send, so they are metered count-only."""
+    import http.client
+
+    host, port = server_url.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.request("DELETE", "/search")
+        resp = conn.getresponse()
+        assert resp.status == 501
+        resp.read()
+    finally:
+        conn.close()
+    with urllib.request.urlopen(server_url + "/metrics") as resp:
+        body = resp.read().decode()
+    assert 'ttr_http_requests_total{path="/search",code="501"}' in body
+
+
+def test_graceful_drain_accounting(server_url, running_server):
+    """Shutdown waits for in-flight requests: the drain counter tracks
+    dispatches, wait_idle() blocks until they finish, and once draining
+    is set every response closes its keep-alive connection."""
+    drain = running_server.RequestHandlerClass.drain
+
+    # normal requests leave no residue (wait_idle: the client can see the
+    # response bytes a beat before the handler thread finishes dispatch)
+    _post(server_url, {"query": "t0w1 drain-probe", "alpha": 0.5})
+    assert drain.wait_idle(5.0) and drain.inflight == 0
+
+    # a request in flight blocks wait_idle until it exits
+    drain.enter()
+    assert not drain.wait_idle(0.05)
+    t = threading.Timer(0.2, drain.exit)
+    t.start()
+    assert drain.wait_idle(5.0)
+    t.join()
+
+    # draining mode: responses advertise Connection: close
+    drain.draining.set()
+    try:
+        import http.client
+
+        host, port = server_url.removeprefix("http://").split(":")
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        try:
+            conn.request("GET", "/health")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.getheader("Connection") == "close"
+            resp.read()
+        finally:
+            conn.close()
+    finally:
+        drain.draining.clear()  # shared module-scoped server
 
 
 # ---------------------------------------------------------------------------

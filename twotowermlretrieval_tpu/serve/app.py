@@ -22,6 +22,8 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -46,6 +48,12 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
     from twotowermlretrieval_tpu.serve.telemetry import ServerMetrics
 
     metrics = ServerMetrics()
+    # graceful-drain state shared by all handler threads: `draining` makes
+    # every in-flight response close its connection, and the condition
+    # lets shutdown wait until the in-flight count hits zero (handler
+    # threads are daemonic, so without this wait the interpreter would
+    # kill them mid-response on exit)
+    drain = _DrainState()
 
     class Handler(BaseHTTPRequestHandler):
         timeout = _REQUEST_TIMEOUT_S  # applies to the request socket
@@ -60,15 +68,15 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
         _KNOWN_PATHS = frozenset(("/", "/index.html", "/health", "/search"))
 
         def _send(self, code: int, body: bytes, content_type: str):
+            if drain.draining.is_set():
+                # shutdown in progress: finish this response but tell the
+                # client the keep-alive connection is done
+                self.close_connection = True
             if self.path != "/metrics":  # scrapes don't meter themselves
-                import time as _time
-
                 # label cardinality must stay bounded: the path is
                 # client-controlled, so anything unknown buckets together
                 path = self.path if self.path in self._KNOWN_PATHS else "other"
-                metrics.observe(
-                    path, code, _time.monotonic() - self._t_start
-                )
+                metrics.observe(path, code, time.monotonic() - self._t_start)
             self.send_response(code)
             self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(body)))
@@ -108,29 +116,43 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
             else:
                 self.close_connection = True
 
-        _t_start = 0.0  # set per dispatch; class default guards error paths
+        def send_error(self, code, message=None, explain=None):
+            # stdlib error paths (bad request line, HTTP-version reject,
+            # unsupported method -> 501) bypass _send; meter them
+            # count-only — no latency sample, because the only stamp that
+            # could cover a parse error would be taken before the request
+            # line is read and would fold keep-alive idle time into the
+            # histogram
+            path = getattr(self, "path", None)
+            metrics.observe(
+                path if path in self._KNOWN_PATHS else "other", code, None
+            )
+            super().send_error(code, message, explain)
+
+        def _begin(self):
+            """Per-request dispatch prologue: stamp the latency clock (the
+            clock must not include keep-alive idle time, so it starts at
+            do_* dispatch, after the request line was read) and mark the
+            request in-flight for graceful drain."""
+            self._t_start = time.monotonic()
+            self._in_flight = True
+            drain.enter()
 
         def handle_one_request(self):
-            # the latency clock must NOT include keep-alive idle time
-            # (handle_one_request blocks on the next request line), so the
-            # do_* dispatch inside super() re-stamps; this stamp covers
-            # parse errors that respond before reaching a do_* method
-            import time as _time
-
-            self._t_start = _time.monotonic()
-            super().handle_one_request()
+            self._in_flight = False
+            try:
+                super().handle_one_request()
+            finally:
+                if self._in_flight:
+                    drain.exit()
 
         def do_OPTIONS(self):  # CORS preflight
-            import time as _time
-
-            self._t_start = _time.monotonic()
+            self._begin()
             self._discard_body()
             self._send(204, b"", "text/plain")
 
         def do_GET(self):
-            import time as _time
-
-            self._t_start = _time.monotonic()
+            self._begin()
             self._discard_body()  # a GET with a body must not poison keep-alive
             if self.path in ("/", "/index.html"):
                 if ui_path and ui_path.exists():
@@ -151,9 +173,7 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
                 self._send_json({"error": "not found"}, 404)
 
         def do_POST(self):
-            import time as _time
-
-            self._t_start = _time.monotonic()
+            self._begin()
             if self.path != "/search":
                 self._discard_body()
                 self._send_json({"error": "not found"}, 404)
@@ -216,7 +236,44 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
         def log_message(self, fmt, *args):  # quiet default access log
             pass
 
+    Handler.drain = drain  # reachable via server.RequestHandlerClass.drain
     return Handler
+
+
+class _DrainState:
+    """In-flight request accounting for graceful shutdown.
+
+    ``ThreadingHTTPServer`` handler threads are daemonic: ``shutdown()``
+    only stops the accept loop, and interpreter exit would kill threads
+    mid-response. Shutdown therefore sets ``draining`` (responses start
+    carrying ``Connection: close``) and then waits here until the
+    in-flight count reaches zero — bounded, because each request is
+    already bounded by the socket timeout and the engine's device calls.
+    """
+
+    def __init__(self):
+        self.draining = threading.Event()
+        self._cond = threading.Condition()
+        self._inflight = 0
+
+    def enter(self):
+        with self._cond:
+            self._inflight += 1
+
+    def exit(self):
+        with self._cond:
+            self._inflight -= 1
+            self._cond.notify_all()
+
+    @property
+    def inflight(self) -> int:
+        with self._cond:
+            return self._inflight
+
+    def wait_idle(self, timeout: float) -> bool:
+        """True once no request is in flight; False on timeout."""
+        with self._cond:
+            return self._cond.wait_for(lambda: self._inflight == 0, timeout)
 
 
 def serve(artifacts_path: str, port: int = 8888, host: str = "0.0.0.0", **engine_kwargs):
@@ -287,17 +344,25 @@ def main():
     )
 
     # graceful shutdown: docker stop / Ctrl-C finish in-flight requests
-    # instead of dying mid-response (shutdown() stops the accept loop;
-    # handler threads already running complete)
+    # instead of dying mid-response. shutdown() only stops the accept
+    # loop — handler threads are daemonic, so we must also WAIT for the
+    # in-flight count to drain before letting the interpreter exit.
     import signal
-    import threading
+
+    drain = server.RequestHandlerClass.drain
 
     def _stop(signum, frame):
+        drain.draining.set()  # responses start closing their connections
         threading.Thread(target=server.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _stop)
     signal.signal(signal.SIGINT, _stop)
     server.serve_forever()
+    # bounded by the per-socket timeout + one device round; a wedged
+    # handler past that is abandoned (daemon thread) rather than
+    # blocking shutdown forever
+    if not drain.wait_idle(_REQUEST_TIMEOUT_S + 30.0):
+        print(f"warning: {drain.inflight} request(s) still in flight at exit")
     server.server_close()
     print("server stopped")
 

@@ -27,10 +27,16 @@ class ServerMetrics:
         self._sum = 0.0
         self._count = 0
 
-    def observe(self, path: str, code: int, seconds: float) -> None:
+    def observe(self, path: str, code: int, seconds: float | None) -> None:
+        """Count a response; ``seconds=None`` counts without a latency
+        sample (parse-error responses have no measurable start: any stamp
+        taken before the request line is read would fold keep-alive idle
+        time into the histogram)."""
         with self._lock:
             key = (path, code)
             self._requests[key] = self._requests.get(key, 0) + 1
+            if seconds is None:
+                return
             for i, ub in enumerate(_BUCKETS):
                 if seconds <= ub:
                     self._hist[i] += 1
