@@ -1,5 +1,7 @@
 """Data pipeline tests: triplet builder determinism, batching, GloVe table."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -263,3 +265,86 @@ def test_glove_parser_handles_multiword_tokens(tmp_path):
     assert w2i["at name@domain.com"] == 2 and w2i["cat"] == 3
     np.testing.assert_allclose(table[1], [0.4, 0.5, 0.6])
     np.testing.assert_allclose(table[3], [1.0, 1.1, 1.2])
+
+
+# ---------------------------------------------------------------------------
+# inspect_data tool (ref: misc/inspect_data.ipynb; SURVEY §7 bucket edges)
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_buckets_matches_brute_force():
+    """The interval-partition DP is exactly optimal: compare its padded-token
+    cost against exhaustive enumeration of cut points on random histograms."""
+    import itertools
+
+    from twotowermlretrieval_tpu.tools.inspect_data import suggest_buckets
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        lengths = rng.integers(1, 12, size=rng.integers(5, 40)).tolist()
+        k = int(rng.integers(1, 4))
+        edges, waste, _ = suggest_buckets(lengths, k, max_len=64)
+        ls, cs = np.unique(lengths, return_counts=True)
+
+        def cost(edge_list):
+            total, lo = 0, -1
+            for e in edge_list:
+                in_bucket = (ls > lo) & (ls <= e)
+                total += e * cs[in_bucket].sum()
+                lo = e
+            return total
+
+        # DP edges must cover everything and end at the max length
+        assert edges[-1] == ls[-1] and len(edges) <= k
+        dp_cost = cost(edges)
+        # brute force: the last edge is pinned at ls[-1]
+        m = len(ls)
+        kk = min(k, m)
+        best = min(
+            cost([ls[i] for i in cuts] + [ls[-1]])
+            for cuts in itertools.combinations(range(m - 1), kk - 1)
+        ) if kk > 1 else cost([ls[-1]])
+        assert dp_cost == best, (trial, edges, dp_cost, best)
+        # reported waste agrees with the recomputed cost
+        real = int((ls * cs).sum())
+        assert waste == round((dp_cost - real) / dp_cost, 4)
+
+
+def test_suggest_buckets_clips_and_degenerates():
+    from twotowermlretrieval_tpu.tools.inspect_data import suggest_buckets
+
+    # all lengths beyond max_len collapse to one bucket at max_len
+    edges, waste, _ = suggest_buckets([200, 300, 400], 3, max_len=128)
+    assert edges == [128] and waste == 0.0
+    # k larger than distinct lengths: one bucket per length, zero waste
+    edges, waste, _ = suggest_buckets([3, 3, 7, 7], 5, max_len=64)
+    assert edges == [3, 7] and waste == 0.0
+    assert suggest_buckets([], 3, max_len=64) == ([64], 0.0, 0.0)
+
+
+def test_inspect_data_cli(synth_dir, capsys):
+    """End-to-end over the synthetic corpus: split stats, embedding checks,
+    and a bucket suggestion that the batcher's config accepts."""
+    from twotowermlretrieval_tpu.tools.inspect_data import main
+
+    report = main(["--data-dir", str(synth_dir), "--suggest-buckets", "2",
+                   "--json"])
+    out = capsys.readouterr().out
+    assert json.loads(out.strip().splitlines()[-1])  # one JSON object
+    for split in ("train", "validation", "test"):
+        stats = report["splits"][split]
+        assert stats["rows"] > 0 and stats["invalid_rows"] == 0
+        assert stats["ranking_mode_feasible_frac"] == 1.0  # synthetic sets is_selected
+        assert stats["query_token_len"]["p100"] >= stats["query_token_len"]["p50"] > 0
+        assert stats["oov_rate"] == 0.0  # vocab built from the same corpus
+        assert "_passage_lengths" not in stats
+    emb = report["embeddings"]
+    assert emb["vocab_rows_mismatch"] == 0 and emb["zero_rows_sampled"] == 0
+    sug = report["bucket_suggestion"]
+    assert len(sug["LENGTH_BUCKETS"]) <= 2
+    assert 0.0 <= sug["padded_token_waste"] <= sug["padded_token_waste_single_bucket"]
+    # the suggestion plugs straight into the batcher's config key
+    from twotowermlretrieval_tpu.data.synthetic import synthetic_config
+
+    cfg = synthetic_config(synth_dir, length_buckets=sug["LENGTH_BUCKETS"])
+    assert cfg.length_buckets == sug["LENGTH_BUCKETS"]
