@@ -319,35 +319,23 @@ def _arm_watchdog(seconds=1800):
 
 
 def _require_live_backend(timeout_s=180.0, retry_window_s=1800.0):
-    """Probe the default JAX backend in a subprocess with a hard timeout.
-
-    A wedged relay blocks jax.devices() in C code where no in-process
-    watchdog (SIGALRM included) can fire; probing in a child process is
-    the only reliable detection. The relay has been observed to drop for
-    stretches and come back, so on failure the probe retries within a
-    bounded window before exiting 2 — this run may be the round's only
+    """Probe the default JAX backend (subprocess, hard timeout — see
+    twotowermlretrieval_tpu/hostprobe.py for why in-process watchdogs
+    cannot detect a wedged relay). The relay has been observed to drop
+    for stretches and come back, so on failure the probe retries within
+    a bounded window before exiting 2 — this run may be the round's only
     chance to record numbers."""
-    import subprocess
+    from twotowermlretrieval_tpu.hostprobe import probe_default_backend_verbose
 
     deadline = time.time() + retry_window_s
     attempt = 0
     while True:
         attempt += 1
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(jax.devices()[0].platform)"],
-                capture_output=True, timeout=timeout_s, text=True,
-            )
-            if out.returncode == 0 and out.stdout.strip():
-                platform = out.stdout.strip().splitlines()[-1]
-                log(f"backend probe: default platform '{platform}' is live")
-                return
-            log(f"backend probe attempt {attempt} failed "
-                f"(rc={out.returncode}): {out.stderr.strip()[-400:]}")
-        except subprocess.TimeoutExpired:
-            log(f"backend probe attempt {attempt} timed out after "
-                f"{timeout_s:.0f}s — TPU relay unresponsive")
+        platform, _, diag = probe_default_backend_verbose(timeout_s)
+        if platform:
+            log(f"backend probe: default platform '{platform}' is live")
+            return
+        log(f"backend probe attempt {attempt} failed ({diag})")
         if time.time() + timeout_s > deadline:
             log("backend probe: giving up; aborting without a JSON line")
             sys.exit(2)

@@ -619,6 +619,31 @@ def test_http_unsupported_method_metered(server_url):
     assert 'ttr_http_requests_total{path="/search",code="501"}' in body
 
 
+def test_http_parse_error_not_misattributed(server_url):
+    """A malformed request line on a reused keep-alive connection is
+    metered as path="other" — NOT the previous request's path, which the
+    stdlib leaves stale in self.path when parsing fails."""
+    import socket
+
+    host, port = server_url.removeprefix("http://").split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as sock:
+        sock.sendall(b"GET /health HTTP/1.1\r\nHost: x\r\n\r\n")
+        first = sock.recv(65536)
+        assert first.startswith(b"HTTP/1.1 200")
+        sock.sendall(b"GARBAGE\r\n")
+        err = b""
+        while True:
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            err += chunk
+        assert b"400" in err.split(b"\r\n", 1)[0]
+    with urllib.request.urlopen(server_url + "/metrics") as resp:
+        body = resp.read().decode()
+    assert 'ttr_http_requests_total{path="other",code="400"}' in body
+    assert 'ttr_http_requests_total{path="/health",code="400"}' not in body
+
+
 def test_graceful_drain_accounting(server_url, running_server):
     """Shutdown waits for in-flight requests: the drain counter tracks
     dispatches, wait_idle() blocks until they finish, and once draining

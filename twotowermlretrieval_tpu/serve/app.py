@@ -140,6 +140,12 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
 
         def handle_one_request(self):
             self._in_flight = False
+            # clear the previous request's path before the stdlib parses the
+            # next request line: a parse failure (bad request line, 414, 505)
+            # calls send_error before assigning self.path, and on a keep-alive
+            # connection the stale value would misattribute the error to the
+            # prior request's endpoint
+            self.path = None
             try:
                 super().handle_one_request()
             finally:

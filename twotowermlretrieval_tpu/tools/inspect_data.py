@@ -298,5 +298,12 @@ def main(argv=None):
     return report
 
 
+def cli() -> int:
+    """Console-script entry: `main` returns the report dict (for library/test
+    use); translate it to a process exit status here so the `ttr-inspect-data`
+    wrapper's `sys.exit(...)` does not treat a successful run as failure."""
+    return 0 if main() is not None else 1
+
+
 if __name__ == "__main__":
-    sys.exit(0 if main() is not None else 1)
+    sys.exit(cli())
