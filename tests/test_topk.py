@@ -374,6 +374,82 @@ def test_segmax_s8_all_negative_scores_with_padding(rng):
     np.testing.assert_array_equal(np.asarray(ids), ref_ids)
 
 
+@pytest.mark.parametrize("N,n_valid", [(1024, None), (1000, None), (1024, 900)])
+def test_segmax_gather_phase2_matches_rescore(rng, N, n_valid):
+    """phase2='gather' (score-cache kernel) selects the same ids as the
+    re-score path and the oracle. Values may differ from the re-score
+    path by float accumulation order (cached scores come from the phase-1
+    kernel dot; re-score recomputes with a separate XLA dot), so values
+    are compared with a tight tolerance rather than bitwise."""
+    from twotowermlretrieval_tpu.ops.topk import fused_topk_segmax
+
+    q, d = _data(rng, B=8, N=N, H=32)
+    if n_valid is not None:
+        d = d.at[n_valid:].set(0.0)
+    k = 20
+    g_vals, g_ids = fused_topk_segmax(
+        q, d, k=k, tile_n=256, interpret=INTERPRET, n_valid=n_valid,
+        phase2="gather",
+    )
+    r_vals, r_ids = fused_topk_segmax(
+        q, d, k=k, tile_n=256, interpret=INTERPRET, n_valid=n_valid,
+        phase2="rescore",
+    )
+    np.testing.assert_array_equal(np.asarray(g_ids), np.asarray(r_ids))
+    np.testing.assert_allclose(np.asarray(g_vals), np.asarray(r_vals), rtol=1e-6)
+    o_vals, o_ids = topk_oracle(q, d[: n_valid or N], k)
+    np.testing.assert_array_equal(np.asarray(g_ids), np.asarray(o_ids))
+    np.testing.assert_allclose(np.asarray(g_vals), np.asarray(o_vals), rtol=1e-5)
+
+
+def test_segmax_gather_phase2_beyond_unroll_falls_back(rng):
+    """B beyond the unroll bound silently uses the re-score path (the
+    score cache write grows with B while its benefit does not)."""
+    from twotowermlretrieval_tpu.ops.topk import (
+        _PHASE2_UNROLL_MAX_B, fused_topk_segmax,
+    )
+
+    B = _PHASE2_UNROLL_MAX_B + 1
+    q, d = _data(rng, B=B, N=512, H=16)
+    vals, ids = fused_topk_segmax(
+        q, d, k=10, tile_n=256, interpret=INTERPRET, phase2="gather"
+    )
+    o_vals, o_ids = topk_oracle(q, d, 10)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(o_ids))
+
+
+def test_segmax_phase2_rejects_unknown_mode(rng):
+    from twotowermlretrieval_tpu.ops.topk import fused_topk_segmax
+
+    q, d = _data(rng, B=2, N=256, H=16)
+    with pytest.raises(ValueError, match="phase2"):
+        fused_topk_segmax(q, d, k=5, tile_n=256, interpret=INTERPRET,
+                          phase2="bogus")
+
+
+@pytest.mark.parametrize("N,n_valid", [(1024, None), (1024, 900), (512, 130)])
+def test_segmax_s8_gather_phase2_bitwise(rng, N, n_valid):
+    """s8 score-cache phase 2 is bit-identical to the re-score path: both
+    read the same i32 integer scores (exact in f32)."""
+    from twotowermlretrieval_tpu.ops.topk import fused_topk_segmax_s8, quantize_segments
+
+    q, d = _data(rng, B=8, N=N, H=32)
+    d_np = np.asarray(d)
+    if n_valid is not None:
+        d_np = d_np.copy()
+        d_np[n_valid:] = 0.0
+    values, scales = quantize_segments(d_np)
+    kwargs = dict(k=20, tile_n=256, interpret=INTERPRET, n_valid=n_valid)
+    g_vals, g_ids = fused_topk_segmax_s8(
+        q, jnp.asarray(values), jnp.asarray(scales), phase2="gather", **kwargs
+    )
+    r_vals, r_ids = fused_topk_segmax_s8(
+        q, jnp.asarray(values), jnp.asarray(scales), phase2="rescore", **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(g_ids), np.asarray(r_ids))
+    np.testing.assert_array_equal(np.asarray(g_vals), np.asarray(r_vals))
+
+
 def test_segmax_s8_recall_vs_f32(rng):
     """Per-segment int8 retrieval keeps >= 0.9 top-20 recall vs exact f32
     on normalized embeddings (the serving trade-off being bought)."""

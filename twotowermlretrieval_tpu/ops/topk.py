@@ -356,7 +356,31 @@ def _segmax_kernel(n_valid_ref, q_ref, d_ref, out_ref, *, tile_n, precision):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def _segmax_ws_kernel(
+    n_valid_ref, q_ref, d_ref, max_ref, sc_ref, *, tile_n, precision
+):
+    """Phase 1 with a score cache: identical scan to :func:`_segmax_kernel`
+    but the full masked [tile_n, B] f32 scores are also streamed to HBM so
+    phase 2 can gather them instead of re-scoring (see the s8 twin
+    :func:`_segmax_s8_ws_kernel` for the traffic arithmetic)."""
+    step = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        d_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [tile_n, B]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + step * tile_n
+    scores = jnp.where(row_ids < n_valid_ref[0], scores, NEG_INF)
+    sc_ref[:] = scores
+    max_ref[:] = jnp.max(
+        scores.reshape(tile_n // _SEG, _SEG, scores.shape[1]), axis=1
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "interpret", "phase2")
+)
 def fused_topk_segmax(
     queries: jax.Array,  # [B, H]
     docs: jax.Array,  # [N, H] — scored in its storage dtype
@@ -364,6 +388,7 @@ def fused_topk_segmax(
     tile_n: int = 8192,
     interpret: bool = False,
     n_valid=None,  # true corpus size when docs already carries padding rows
+    phase2: str = "rescore",  # "rescore" | "gather" (score-cache phase 1)
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k: streamed segment maxima (Pallas, phase 1) + top-k over
     segments + re-score of the k winning segments (XLA, phase 2). Same
@@ -382,11 +407,15 @@ def fused_topk_segmax(
         raise ValueError(f"k={k} larger than corpus N={N}")
     if tile_n % _SEG:
         raise ValueError(f"tile_n={tile_n} must be a multiple of {_SEG}")
+    if phase2 not in ("rescore", "gather"):
+        raise ValueError(f"phase2 must be 'rescore' or 'gather': {phase2!r}")
     if B > _MAX_KERNEL_B:
         return _block_queries(
             fused_topk_segmax, queries, docs, k=k, tile_n=tile_n,
-            interpret=interpret, n_valid=n_valid,
+            interpret=interpret, n_valid=n_valid, phase2=phase2,
         )
+    if B > _PHASE2_UNROLL_MAX_B:
+        phase2 = "rescore"
     if not interpret:
         # keep the [tile_n, B] f32 score tile inside the scoped-VMEM budget
         # (B > ~256 at tile_n=8192 would fail Mosaic compilation)
@@ -406,39 +435,77 @@ def fused_topk_segmax(
     )
     n_valid_arr = jnp.asarray([N if n_valid is None else n_valid], jnp.int32)
 
-    kernel = functools.partial(_segmax_kernel, tile_n=tile_n, precision=precision)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((B, H), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, H), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[pl.BlockSpec((tile_n // _SEG, B), lambda i, n: (i, 0), memory_space=pltpu.VMEM)],
+    in_specs = [
+        pl.BlockSpec((B, H), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, H), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    max_spec = pl.BlockSpec(
+        (tile_n // _SEG, B), lambda i, n: (i, 0), memory_space=pltpu.VMEM
     )
-    (segmax_t,) = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((S, B), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * Npad,
-            bytes_accessed=Npad * H * docs.dtype.itemsize + S * B * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(n_valid_arr, q, docs)
+    sc_full = None
+    if phase2 == "gather":
+        kernel = functools.partial(
+            _segmax_ws_kernel, tile_n=tile_n, precision=precision
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                max_spec,
+                pl.BlockSpec((tile_n, B), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+            ],
+        )
+        segmax_t, sc_full = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((S, B), jnp.float32),
+                jax.ShapeDtypeStruct((Npad, B), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * H * Npad,
+                bytes_accessed=Npad * H * docs.dtype.itemsize + (Npad + S) * B * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(n_valid_arr, q, docs)
+    else:
+        kernel = functools.partial(_segmax_kernel, tile_n=tile_n, precision=precision)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_tiles,),
+            in_specs=in_specs,
+            out_specs=[max_spec],
+        )
+        (segmax_t,) = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((S, B), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * H * Npad,
+                bytes_accessed=Npad * H * docs.dtype.itemsize + S * B * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(n_valid_arr, q, docs)
 
     return _segmax_phase2(
-        segmax_t, q, docs, n_valid_arr[0], k, precision=precision
+        segmax_t, q, docs, n_valid_arr[0], k, precision=precision,
+        sc_full=sc_full,
     )
 
 
-def _segmax_phase2(segmax_t, q, docs_padded, n_valid, k, *, precision, scales=None):
+def _segmax_phase2(segmax_t, q, docs_padded, n_valid, k, *, precision,
+                   scales=None, sc_full=None):
     """Phase 2 (XLA): pick k winning segments per row, gather + re-score
     them with the phase-1 matmul semantics, final top-k. ``scales`` is the
     per-row dequant vector for int8 storage. Small batches unroll the
     gather+matvec per query row — measured ~1.5x faster than the batched
-    4-D gather + einsum (see fused_topk_segmax_s8)."""
+    4-D gather + einsum (see fused_topk_segmax_s8). With ``sc_full`` (the
+    phase-1 score cache, [Npad, B] f32) the re-score is skipped entirely:
+    the winning segments' scores are gathered from the cache —
+    bit-identical, no corpus reads."""
     S = segmax_t.shape[0]
     B = q.shape[0]
     H = q.shape[1]
@@ -447,7 +514,10 @@ def _segmax_phase2(segmax_t, q, docs_padded, n_valid, k, *, precision, scales=No
     _, seg_idx = jax.lax.top_k(segmax, k_seg)  # [B, k_seg]
 
     d3 = docs_padded.reshape(S, _SEG, -1)
-    if B <= _PHASE2_UNROLL_MAX_B:
+    if sc_full is not None:
+        sc3 = sc_full.reshape(S, _SEG, B)
+        scores = jnp.stack([sc3[seg_idx[b], :, b] for b in range(B)])
+    elif B <= _PHASE2_UNROLL_MAX_B:
         per_row = [
             jax.lax.dot_general(
                 q[b][None, :], d3[seg_idx[b]].reshape(-1, H).astype(q.dtype),
@@ -643,26 +713,67 @@ def quantize_query_rows(queries: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q_i8, q_scale
 
 
-def _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret, seg=_SEG):
+def _segmax_s8_ws_kernel(q_ref, d_ref, max_ref, sc_ref, *, tile_n, seg):
+    """Phase 1 with a score cache: same s8 x s8 scan as
+    :func:`_segmax_s8_kernel`, but the full [tile_n, B] f32 scores are
+    ALSO written out (exact: i32 magnitudes <= 127*127*H < 2^24). At
+    serving batch sizes the extra write is ~B*4 bytes per int8 corpus
+    row (+24% HBM traffic at B=8, H=128) and buys phase 2 out of its
+    corpus gather + matvecs entirely — it becomes a pure score gather."""
+    scores = jax.lax.dot_general(
+        d_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)  # [tile_n, B]
+    sc_ref[:] = scores
+    max_ref[:] = jnp.max(
+        scores.reshape(tile_n // seg, seg, scores.shape[1]), axis=1
+    )
+
+
+def _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret, seg=_SEG,
+                      write_scores=False):
     """Run the s8 phase-1 kernel: [S, B] f32 segment maxima of the integer
     scores (exact — see _segmax_s8_kernel). Exposed separately so the scan
-    can be profiled apart from phase 2."""
+    can be profiled apart from phase 2. With ``write_scores`` the kernel
+    also streams the full transposed [Npad, B] f32 scores to HBM and the
+    return value is ``(segmax, scores)``."""
     B, H = q_i8.shape
     Npad = doc_values.shape[0]
     num_tiles = Npad // tile_n
     S = Npad // seg
+    in_specs = [
+        pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    max_spec = pl.BlockSpec((tile_n // seg, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    max_shape = jax.ShapeDtypeStruct((S, B), jnp.float32)
+    if write_scores:
+        kernel = functools.partial(_segmax_s8_ws_kernel, tile_n=tile_n, seg=seg)
+        segmax, scores = pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                max_spec,
+                pl.BlockSpec((tile_n, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[max_shape, jax.ShapeDtypeStruct((Npad, B), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * H * Npad,
+                bytes_accessed=Npad * H + (Npad + S) * B * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(q_i8, doc_values)
+        return segmax, scores
     kernel = functools.partial(_segmax_s8_kernel, tile_n=tile_n, seg=seg)
     (segmax,) = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_n // seg, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ],
-        out_shape=[jax.ShapeDtypeStruct((S, B), jnp.float32)],
+        in_specs=in_specs,
+        out_specs=[max_spec],
+        out_shape=[max_shape],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * Npad,
             bytes_accessed=Npad * H + S * B * 4,
@@ -673,7 +784,9 @@ def _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret, seg=_SEG):
     return segmax
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret", "seg"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "interpret", "seg", "phase2")
+)
 def fused_topk_segmax_s8(
     queries: jax.Array,  # [B, H] float
     doc_values: jax.Array,  # [N, H] int8, per-SEGMENT quantized
@@ -683,11 +796,19 @@ def fused_topk_segmax_s8(
     interpret: bool = False,
     n_valid=None,  # true corpus size when docs carry zero-padding rows
     seg: int = _SEG,  # covering-segment width of the quantized index
+    phase2: str = "rescore",  # "rescore" | "gather" (score-cache phase 1)
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming exact top-k over the per-segment int8 index (see module
     comment above). ``seg`` must match the width the index was quantized
     with; smaller segments shrink phase 2's gather/re-score volume (and
-    tighten quantization) at the cost of a longer [S, B] phase-1 output."""
+    tighten quantization) at the cost of a longer [S, B] phase-1 output.
+
+    ``phase2="gather"`` makes phase 1 also stream the full transposed
+    [Npad, B] f32 scores to HBM (exact, see _segmax_s8_ws_kernel), and
+    phase 2 gathers the winning segments' cached scores instead of
+    re-scoring them — bit-identical results by construction. Falls back
+    to "rescore" beyond the unroll bound (the cache write grows with B
+    while its benefit does not)."""
     B, H = queries.shape
     N = doc_values.shape[0]
     if doc_values.shape[1] != H:
@@ -698,11 +819,16 @@ def fused_topk_segmax_s8(
         raise ValueError(
             f"per-segment index malformed: N={N}, scales={seg_scales.shape[0]}"
         )
+    if phase2 not in ("rescore", "gather"):
+        raise ValueError(f"phase2 must be 'rescore' or 'gather': {phase2!r}")
     if B > _MAX_KERNEL_B:
         return _block_queries(
             fused_topk_segmax_s8, queries, doc_values, seg_scales,
             k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid, seg=seg,
+            phase2=phase2,
         )
+    if B > _PHASE2_UNROLL_MAX_B:
+        phase2 = "rescore"
     if not interpret:
         tile_n = _effective_tile_n(tile_n, B, N)
     if tile_n % seg:
@@ -721,7 +847,13 @@ def fused_topk_segmax_s8(
     S = Npad // seg
 
     q_i8, q_scale = quantize_query_rows(queries)
-    segmax = _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret, seg=seg)
+    sc_full = None
+    if phase2 == "gather":
+        segmax, sc_full = _segmax_s8_phase1(
+            q_i8, doc_values, tile_n, interpret, seg=seg, write_scores=True
+        )
+    else:
+        segmax = _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret, seg=seg)
 
     # phase 1.5 (XLA, [S, B] only): dequantize the segment maxima and mask
     # segments that are ENTIRELY padding (their maxima are pure fakes).
@@ -744,23 +876,31 @@ def fused_topk_segmax_s8(
     # batched 4-D gather + einsum (0.34 vs 0.51 ms end-to-end measured at
     # 8 x top-50 over 1M x 128); beyond the unroll bound the batched form
     # keeps the trace size sane.
-    d3 = doc_values.reshape(S, seg, H)
-    if B <= _PHASE2_UNROLL_MAX_B:
-        per_row = [
-            jax.lax.dot_general(
-                d3[seg_idx[b]].reshape(-1, H), q_i8[b][None, :],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )[:, 0].reshape(k_seg, seg)
-            for b in range(B)
-        ]
-        scores_i32 = jnp.stack(per_row)  # [B, k_seg, seg]
+    if sc_full is not None:
+        # phase 2, gather form: the integer scores already live in HBM as
+        # [Npad, B] f32 (exact) — per query row, fetch the k_seg winning
+        # segments' 128-score blocks and dequantize; no corpus reads
+        sc3 = sc_full.reshape(S, seg, B)
+        scores_f = jnp.stack([sc3[seg_idx[b], :, b] for b in range(B)])
     else:
-        blocks = d3[seg_idx]  # [B, k_seg, seg, H] i8
-        scores_i32 = jnp.einsum(
-            "bh,bkch->bkc", q_i8, blocks, preferred_element_type=jnp.int32
-        )
-    scores = scores_i32.astype(jnp.float32) * seg_scales[seg_idx][..., None] * q_scale[
+        d3 = doc_values.reshape(S, seg, H)
+        if B <= _PHASE2_UNROLL_MAX_B:
+            per_row = [
+                jax.lax.dot_general(
+                    d3[seg_idx[b]].reshape(-1, H), q_i8[b][None, :],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )[:, 0].reshape(k_seg, seg)
+                for b in range(B)
+            ]
+            scores_i32 = jnp.stack(per_row)  # [B, k_seg, seg]
+        else:
+            blocks = d3[seg_idx]  # [B, k_seg, seg, H] i8
+            scores_i32 = jnp.einsum(
+                "bh,bkch->bkc", q_i8, blocks, preferred_element_type=jnp.int32
+            )
+        scores_f = scores_i32.astype(jnp.float32)
+    scores = scores_f * seg_scales[seg_idx][..., None] * q_scale[
         :, :, None
     ]
     gids = seg_idx[..., None] * seg + jnp.arange(seg)[None, None, :]
