@@ -418,6 +418,38 @@ def test_segmax_gather_phase2_beyond_unroll_falls_back(rng):
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(o_ids))
 
 
+@pytest.mark.parametrize("phase2", ["rescore", "gather"])
+def test_segmax_sorted_candidates_match_oracle(rng, phase2):
+    """sort_candidates=True (ascending-address phase-2 gathers) never
+    changes the result set — the final top-k re-ranks the candidate
+    union, so candidate order is free."""
+    from twotowermlretrieval_tpu.ops.topk import (
+        fused_topk_segmax, fused_topk_segmax_s8, quantize_segments,
+    )
+
+    q, d = _data(rng, B=8, N=1024, H=32)
+    k = 20
+    vals, ids = fused_topk_segmax(
+        q, d, k=k, tile_n=256, interpret=INTERPRET, phase2=phase2,
+        sort_candidates=True,
+    )
+    o_vals, o_ids = topk_oracle(q, d, k)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(o_ids))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(o_vals), rtol=1e-5)
+
+    values, scales = quantize_segments(np.asarray(d))
+    s_vals, s_ids = fused_topk_segmax_s8(
+        q, jnp.asarray(values), jnp.asarray(scales), k=k, tile_n=256,
+        interpret=INTERPRET, phase2=phase2, sort_candidates=True,
+    )
+    u_vals, u_ids = fused_topk_segmax_s8(
+        q, jnp.asarray(values), jnp.asarray(scales), k=k, tile_n=256,
+        interpret=INTERPRET, phase2=phase2, sort_candidates=False,
+    )
+    np.testing.assert_array_equal(np.asarray(s_ids), np.asarray(u_ids))
+    np.testing.assert_array_equal(np.asarray(s_vals), np.asarray(u_vals))
+
+
 def test_segmax_phase2_rejects_unknown_mode(rng):
     from twotowermlretrieval_tpu.ops.topk import fused_topk_segmax
 

@@ -379,7 +379,8 @@ def _segmax_ws_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "interpret", "phase2")
+    jax.jit,
+    static_argnames=("k", "tile_n", "interpret", "phase2", "sort_candidates"),
 )
 def fused_topk_segmax(
     queries: jax.Array,  # [B, H]
@@ -389,6 +390,7 @@ def fused_topk_segmax(
     interpret: bool = False,
     n_valid=None,  # true corpus size when docs already carries padding rows
     phase2: str = "rescore",  # "rescore" | "gather" (score-cache phase 1)
+    sort_candidates: bool = False,  # ascending-address phase-2 gathers
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k: streamed segment maxima (Pallas, phase 1) + top-k over
     segments + re-score of the k winning segments (XLA, phase 2). Same
@@ -413,6 +415,7 @@ def fused_topk_segmax(
         return _block_queries(
             fused_topk_segmax, queries, docs, k=k, tile_n=tile_n,
             interpret=interpret, n_valid=n_valid, phase2=phase2,
+            sort_candidates=sort_candidates,
         )
     if B > _PHASE2_UNROLL_MAX_B:
         phase2 = "rescore"
@@ -492,12 +495,12 @@ def fused_topk_segmax(
 
     return _segmax_phase2(
         segmax_t, q, docs, n_valid_arr[0], k, precision=precision,
-        sc_full=sc_full,
+        sc_full=sc_full, sort_candidates=sort_candidates,
     )
 
 
 def _segmax_phase2(segmax_t, q, docs_padded, n_valid, k, *, precision,
-                   scales=None, sc_full=None):
+                   scales=None, sc_full=None, sort_candidates=False):
     """Phase 2 (XLA): pick k winning segments per row, gather + re-score
     them with the phase-1 matmul semantics, final top-k. ``scales`` is the
     per-row dequant vector for int8 storage. Small batches unroll the
@@ -512,6 +515,10 @@ def _segmax_phase2(segmax_t, q, docs_padded, n_valid, k, *, precision,
     segmax = segmax_t.T  # [B, S]
     k_seg = min(k, S)
     _, seg_idx = jax.lax.top_k(segmax, k_seg)  # [B, k_seg]
+    if sort_candidates:
+        # order-free (the final top-k re-ranks the candidate union): sort
+        # so the per-row block gathers read HBM in ascending address order
+        seg_idx = jnp.sort(seg_idx, axis=-1)
 
     d3 = docs_padded.reshape(S, _SEG, -1)
     if sc_full is not None:
@@ -785,7 +792,10 @@ def _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret, seg=_SEG,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "interpret", "seg", "phase2")
+    jax.jit,
+    static_argnames=(
+        "k", "tile_n", "interpret", "seg", "phase2", "sort_candidates"
+    ),
 )
 def fused_topk_segmax_s8(
     queries: jax.Array,  # [B, H] float
@@ -797,6 +807,7 @@ def fused_topk_segmax_s8(
     n_valid=None,  # true corpus size when docs carry zero-padding rows
     seg: int = _SEG,  # covering-segment width of the quantized index
     phase2: str = "rescore",  # "rescore" | "gather" (score-cache phase 1)
+    sort_candidates: bool = False,  # ascending-address phase-2 gathers
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming exact top-k over the per-segment int8 index (see module
     comment above). ``seg`` must match the width the index was quantized
@@ -825,7 +836,7 @@ def fused_topk_segmax_s8(
         return _block_queries(
             fused_topk_segmax_s8, queries, doc_values, seg_scales,
             k=k, tile_n=tile_n, interpret=interpret, n_valid=n_valid, seg=seg,
-            phase2=phase2,
+            phase2=phase2, sort_candidates=sort_candidates,
         )
     if B > _PHASE2_UNROLL_MAX_B:
         phase2 = "rescore"
@@ -867,6 +878,10 @@ def fused_topk_segmax_s8(
 
     k_seg = min(k + 1, S)
     _, seg_idx = jax.lax.top_k(segmax.T, k_seg)  # [B, k_seg]
+    if sort_candidates:
+        # order-free (the final top-k re-ranks the candidate union): sort
+        # so the per-row block gathers read HBM in ascending address order
+        seg_idx = jnp.sort(seg_idx, axis=-1)
 
     # phase 2: re-score the winning segments under the SAME quantized
     # metric — int8 operands with i32 accumulation (native MXU path; an
