@@ -8,6 +8,7 @@ socket with the reference's request/response contract.
 
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -663,22 +664,34 @@ def test_graceful_drain_accounting(server_url, running_server):
     assert drain.wait_idle(5.0)
     t.join()
 
-    # draining mode: responses advertise Connection: close
-    drain.draining.set()
-    try:
-        import http.client
+    # draining mode: no NEW request is ever started — the handler closes
+    # the connection before reading a request line, whether the client
+    # reuses a live keep-alive connection or opens a fresh one (the old
+    # contract served them; that left a window where shutdown could kill
+    # a just-accepted request mid-parse)
+    import http.client
 
-        host, port = server_url.removeprefix("http://").split(":")
-        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    host, port = server_url.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.request("GET", "/health")  # pre-drain: served, keep-alive
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+        drain.draining.set()
+        time.sleep(0.6)  # > one socket-poll interval: the handler notices
+        conn.request("GET", "/health")  # same live connection: refused
+        with pytest.raises((http.client.RemoteDisconnected, ConnectionError)):
+            conn.getresponse()
+        fresh = http.client.HTTPConnection(host, int(port), timeout=30)
         try:
-            conn.request("GET", "/health")
-            resp = conn.getresponse()
-            assert resp.status == 200
-            assert resp.getheader("Connection") == "close"
-            resp.read()
+            fresh.request("GET", "/health")  # fresh connection: refused too
+            with pytest.raises((http.client.RemoteDisconnected, ConnectionError)):
+                fresh.getresponse()
         finally:
-            conn.close()
+            fresh.close()
     finally:
+        conn.close()
         drain.draining.clear()  # shared module-scoped server
 
 

@@ -420,9 +420,11 @@ def test_segmax_gather_phase2_beyond_unroll_falls_back(rng):
 
 @pytest.mark.parametrize("phase2", ["rescore", "gather"])
 def test_segmax_sorted_candidates_match_oracle(rng, phase2):
-    """sort_candidates=True (ascending-address phase-2 gathers) never
-    changes the result set — the final top-k re-ranks the candidate
-    union, so candidate order is free."""
+    """sort_candidates=True (ascending-address phase-2 gathers) returns
+    the same result set — the final top-k re-ranks the candidate union,
+    so candidate order is free up to exact score ties (a bitwise tie at
+    the k boundary may legitimately resolve to the other doc; this fixed
+    seed produces none, so the assertions below can stay bitwise)."""
     from twotowermlretrieval_tpu.ops.topk import (
         fused_topk_segmax, fused_topk_segmax_s8, quantize_segments,
     )

@@ -331,7 +331,8 @@ def fused_topk(
 _SEG = 128  # covering-segment width == one lane group / MXU tile edge
 
 
-def _segmax_kernel(n_valid_ref, q_ref, d_ref, out_ref, *, tile_n, precision):
+def _segmax_kernel(n_valid_ref, q_ref, d_ref, max_ref, *sc_ref,
+                   tile_n, precision):
     """Phase 1: per-128-row segment maxima of the score matrix, streamed.
 
     TRANSPOSED layout on purpose: scores are computed as [tile_n, B]
@@ -340,7 +341,12 @@ def _segmax_kernel(n_valid_ref, q_ref, d_ref, out_ref, *, tile_n, precision):
     floor (~795 GB/s measured). The B-major orientation needs a cross-lane
     relayout per tile that costs ~4x the whole corpus pass. Only
     [S, B] = N/128 * B floats ever reach HBM (vs [B, N] for the two-phase
-    XLA path), so this kernel scales to any batch/corpus product."""
+    XLA path), so this kernel scales to any batch/corpus product.
+
+    With a trailing score-cache ref (phase2="gather") the full masked
+    [tile_n, B] f32 scores are ALSO streamed to HBM so phase 2 can gather
+    them instead of re-scoring — +B*4 bytes of write traffic per corpus
+    row against removing phase 2's scattered corpus reads + matvecs."""
     step = pl.program_id(0)
     scores = jax.lax.dot_general(
         d_ref[:], q_ref[:],
@@ -351,28 +357,8 @@ def _segmax_kernel(n_valid_ref, q_ref, d_ref, out_ref, *, tile_n, precision):
     # mask padding rows (>= n_valid) so a boundary segment's max is real
     row_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + step * tile_n
     scores = jnp.where(row_ids < n_valid_ref[0], scores, NEG_INF)
-    out_ref[:] = jnp.max(
-        scores.reshape(tile_n // _SEG, _SEG, scores.shape[1]), axis=1
-    )
-
-
-def _segmax_ws_kernel(
-    n_valid_ref, q_ref, d_ref, max_ref, sc_ref, *, tile_n, precision
-):
-    """Phase 1 with a score cache: identical scan to :func:`_segmax_kernel`
-    but the full masked [tile_n, B] f32 scores are also streamed to HBM so
-    phase 2 can gather them instead of re-scoring (see the s8 twin
-    :func:`_segmax_s8_ws_kernel` for the traffic arithmetic)."""
-    step = pl.program_id(0)
-    scores = jax.lax.dot_general(
-        d_ref[:], q_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # [tile_n, B]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + step * tile_n
-    scores = jnp.where(row_ids < n_valid_ref[0], scores, NEG_INF)
-    sc_ref[:] = scores
+    if sc_ref:
+        sc_ref[0][:] = scores
     max_ref[:] = jnp.max(
         scores.reshape(tile_n // _SEG, _SEG, scores.shape[1]), axis=1
     )
@@ -445,58 +431,77 @@ def fused_topk_segmax(
     max_spec = pl.BlockSpec(
         (tile_n // _SEG, B), lambda i, n: (i, 0), memory_space=pltpu.VMEM
     )
-    sc_full = None
-    if phase2 == "gather":
-        kernel = functools.partial(
-            _segmax_ws_kernel, tile_n=tile_n, precision=precision
+    out_specs = [max_spec]
+    out_shape = [jax.ShapeDtypeStruct((S, B), jnp.float32)]
+    if phase2 == "gather":  # extra trailing score-cache output
+        out_specs.append(
+            pl.BlockSpec((tile_n, B), lambda i, n: (i, 0), memory_space=pltpu.VMEM)
         )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
+        out_shape.append(jax.ShapeDtypeStruct((Npad, B), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_segmax_kernel, tile_n=tile_n, precision=precision),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(num_tiles,),
             in_specs=in_specs,
-            out_specs=[
-                max_spec,
-                pl.BlockSpec((tile_n, B), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
-            ],
-        )
-        segmax_t, sc_full = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((S, B), jnp.float32),
-                jax.ShapeDtypeStruct((Npad, B), jnp.float32),
-            ],
-            cost_estimate=pl.CostEstimate(
-                flops=2 * B * H * Npad,
-                bytes_accessed=Npad * H * docs.dtype.itemsize + (Npad + S) * B * 4,
-                transcendentals=0,
-            ),
-            interpret=interpret,
-        )(n_valid_arr, q, docs)
-    else:
-        kernel = functools.partial(_segmax_kernel, tile_n=tile_n, precision=precision)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(num_tiles,),
-            in_specs=in_specs,
-            out_specs=[max_spec],
-        )
-        (segmax_t,) = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((S, B), jnp.float32)],
-            cost_estimate=pl.CostEstimate(
-                flops=2 * B * H * Npad,
-                bytes_accessed=Npad * H * docs.dtype.itemsize + S * B * 4,
-                transcendentals=0,
-            ),
-            interpret=interpret,
-        )(n_valid_arr, q, docs)
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Npad,
+            bytes_accessed=Npad * H * docs.dtype.itemsize
+            + S * B * 4
+            + (Npad * B * 4 if phase2 == "gather" else 0),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_valid_arr, q, docs)
+    segmax_t = outs[0]
+    sc_full = outs[1] if phase2 == "gather" else None
 
     return _segmax_phase2(
         segmax_t, q, docs, n_valid_arr[0], k, precision=precision,
         sc_full=sc_full, sort_candidates=sort_candidates,
     )
+
+
+def _select_segments(segmax, k_seg, sort_candidates):
+    """Winning segments per query row: [B, S] segment maxima -> [B, k_seg]
+    segment ids."""
+    _, seg_idx = jax.lax.top_k(segmax, k_seg)
+    if sort_candidates:
+        # order-free up to exact score ties (the final top-k re-ranks the
+        # candidate union; lax.top_k breaks ties by candidate position, so
+        # a bitwise tie at the k boundary may resolve differently): sort
+        # so the per-row block gathers read HBM in ascending address order
+        seg_idx = jnp.sort(seg_idx, axis=-1)
+    return seg_idx
+
+
+def _gather_cached_scores(sc_full, seg_idx, seg):
+    """Phase 2, gather form: per query row, fetch the winning segments'
+    score blocks from the phase-1 cache ([Npad, B] f32) — no corpus
+    reads. Returns [B, k_seg, seg] f32."""
+    B = sc_full.shape[1]
+    sc3 = sc_full.reshape(-1, seg, B)
+    return jnp.stack([sc3[seg_idx[b], :, b] for b in range(B)])
+
+
+def _candidate_union_topk(scores, seg_idx, seg, n_valid, k):
+    """Final top-k over the candidate union: mask padding gids, flatten,
+    top-k, map flat positions back to global doc ids (padding with -1 /
+    NEG_INF when k exceeds the candidate count)."""
+    B = scores.shape[0]
+    gids = seg_idx[..., None] * seg + jnp.arange(seg)[None, None, :]
+    scores = jnp.where(gids < n_valid, scores, NEG_INF).reshape(B, -1)
+    gids = gids.reshape(B, -1)
+    k_eff = min(k, scores.shape[1])
+    vals, pos = jax.lax.top_k(scores, k_eff)
+    ids = jnp.take_along_axis(gids, pos, axis=1).astype(jnp.int32)
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return vals, jnp.where(vals <= NEG_INF, -1, ids)
 
 
 def _segmax_phase2(segmax_t, q, docs_padded, n_valid, k, *, precision,
@@ -514,16 +519,11 @@ def _segmax_phase2(segmax_t, q, docs_padded, n_valid, k, *, precision,
     H = q.shape[1]
     segmax = segmax_t.T  # [B, S]
     k_seg = min(k, S)
-    _, seg_idx = jax.lax.top_k(segmax, k_seg)  # [B, k_seg]
-    if sort_candidates:
-        # order-free (the final top-k re-ranks the candidate union): sort
-        # so the per-row block gathers read HBM in ascending address order
-        seg_idx = jnp.sort(seg_idx, axis=-1)
+    seg_idx = _select_segments(segmax, k_seg, sort_candidates)  # [B, k_seg]
 
     d3 = docs_padded.reshape(S, _SEG, -1)
     if sc_full is not None:
-        sc3 = sc_full.reshape(S, _SEG, B)
-        scores = jnp.stack([sc3[seg_idx[b], :, b] for b in range(B)])
+        scores = _gather_cached_scores(sc_full, seg_idx, _SEG)
     elif B <= _PHASE2_UNROLL_MAX_B:
         per_row = [
             jax.lax.dot_general(
@@ -542,16 +542,7 @@ def _segmax_phase2(segmax_t, q, docs_padded, n_valid, k, *, precision,
         )
     if scales is not None:
         scores = scores * scales.reshape(S, _SEG)[seg_idx]
-    gids = seg_idx[..., None] * _SEG + jnp.arange(_SEG)[None, None, :]
-    scores = jnp.where(gids < n_valid, scores, NEG_INF).reshape(B, -1)
-    gids = gids.reshape(B, -1)
-    k_eff = min(k, scores.shape[1])
-    vals, pos = jax.lax.top_k(scores, k_eff)
-    ids = jnp.take_along_axis(gids, pos, axis=1).astype(jnp.int32)
-    if k_eff < k:
-        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
-    return vals, jnp.where(vals <= NEG_INF, -1, ids)
+    return _candidate_union_topk(scores, seg_idx, _SEG, n_valid, k)
 
 
 def _segmax_int8_kernel(n_valid_ref, q_ref, d_ref, s_ref, out_ref, *, tile_n):
@@ -690,22 +681,29 @@ def quantize_segments(x: np.ndarray, seg: int = _SEG) -> Tuple[np.ndarray, np.nd
     return values, scales
 
 
-def _segmax_s8_kernel(q_ref, d_ref, out_ref, *, tile_n, seg):
+def _segmax_s8_kernel(q_ref, d_ref, max_ref, *sc_ref, tile_n, seg):
     """Phase 1: segment maxima of the s8 x s8 scores. [tile_n, H] s8 x
     [B, H] s8 -> [tile_n, B] s32 on the MXU, convert to f32, sublane-group
     max — nothing else. The convert is NOT optional sugar: Mosaic's i32
     sublane-group max runs ~2.5x slower than convert+f32 max (measured
     0.54 vs 0.20 ms over 1M x 128 — the f32 path hits the matmul floor,
     77% of the int8 HBM roofline). i32 magnitudes here are <= 127*127*H,
-    exactly representable in f32, so the max is still exact."""
+    exactly representable in f32, so the max is still exact.
+
+    With a trailing score-cache ref (write_scores) the full [tile_n, B]
+    f32 scores are ALSO written out (exact, same argument). At serving
+    batch sizes the extra write is ~B*4 bytes per int8 corpus row (+24%
+    HBM traffic at B=8, H=128) and buys phase 2 out of its corpus
+    gather + matvecs entirely — it becomes a pure score gather."""
     scores = jax.lax.dot_general(
         d_ref[:], q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
-    )  # [tile_n, B] i32
-    out_ref[:] = jnp.max(
-        scores.astype(jnp.float32).reshape(tile_n // seg, seg, scores.shape[1]),
-        axis=1,
+    ).astype(jnp.float32)  # [tile_n, B]
+    if sc_ref:
+        sc_ref[0][:] = scores
+    max_ref[:] = jnp.max(
+        scores.reshape(tile_n // seg, seg, scores.shape[1]), axis=1
     )
 
 
@@ -718,24 +716,6 @@ def quantize_query_rows(queries: jax.Array) -> Tuple[jax.Array, jax.Array]:
     q_scale = jnp.where(q_absmax == 0.0, 1.0, q_absmax / 127.0)
     q_i8 = jnp.clip(jnp.round(q32 / q_scale), -127, 127).astype(jnp.int8)
     return q_i8, q_scale
-
-
-def _segmax_s8_ws_kernel(q_ref, d_ref, max_ref, sc_ref, *, tile_n, seg):
-    """Phase 1 with a score cache: same s8 x s8 scan as
-    :func:`_segmax_s8_kernel`, but the full [tile_n, B] f32 scores are
-    ALSO written out (exact: i32 magnitudes <= 127*127*H < 2^24). At
-    serving batch sizes the extra write is ~B*4 bytes per int8 corpus
-    row (+24% HBM traffic at B=8, H=128) and buys phase 2 out of its
-    corpus gather + matvecs entirely — it becomes a pure score gather."""
-    scores = jax.lax.dot_general(
-        d_ref[:], q_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)  # [tile_n, B]
-    sc_ref[:] = scores
-    max_ref[:] = jnp.max(
-        scores.reshape(tile_n // seg, seg, scores.shape[1]), axis=1
-    )
 
 
 def _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret, seg=_SEG,
@@ -753,42 +733,30 @@ def _segmax_s8_phase1(q_i8, doc_values, tile_n, interpret, seg=_SEG,
         pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_n, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
-    max_spec = pl.BlockSpec((tile_n // seg, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    max_shape = jax.ShapeDtypeStruct((S, B), jnp.float32)
-    if write_scores:
-        kernel = functools.partial(_segmax_s8_ws_kernel, tile_n=tile_n, seg=seg)
-        segmax, scores = pl.pallas_call(
-            kernel,
-            grid=(num_tiles,),
-            in_specs=in_specs,
-            out_specs=[
-                max_spec,
-                pl.BlockSpec((tile_n, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[max_shape, jax.ShapeDtypeStruct((Npad, B), jnp.float32)],
-            cost_estimate=pl.CostEstimate(
-                flops=2 * B * H * Npad,
-                bytes_accessed=Npad * H + (Npad + S) * B * 4,
-                transcendentals=0,
-            ),
-            interpret=interpret,
-        )(q_i8, doc_values)
-        return segmax, scores
-    kernel = functools.partial(_segmax_s8_kernel, tile_n=tile_n, seg=seg)
-    (segmax,) = pl.pallas_call(
-        kernel,
+    out_specs = [
+        pl.BlockSpec((tile_n // seg, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((S, B), jnp.float32)]
+    if write_scores:  # extra trailing score-cache output
+        out_specs.append(
+            pl.BlockSpec((tile_n, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((Npad, B), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_segmax_s8_kernel, tile_n=tile_n, seg=seg),
         grid=(num_tiles,),
         in_specs=in_specs,
-        out_specs=[max_spec],
-        out_shape=[max_shape],
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * Npad,
-            bytes_accessed=Npad * H + S * B * 4,
+            bytes_accessed=Npad * H + S * B * 4
+            + (Npad * B * 4 if write_scores else 0),
             transcendentals=0,
         ),
         interpret=interpret,
     )(q_i8, doc_values)
-    return segmax
+    return tuple(outs) if write_scores else outs[0]
 
 
 @functools.partial(
@@ -815,7 +783,7 @@ def fused_topk_segmax_s8(
     tighten quantization) at the cost of a longer [S, B] phase-1 output.
 
     ``phase2="gather"`` makes phase 1 also stream the full transposed
-    [Npad, B] f32 scores to HBM (exact, see _segmax_s8_ws_kernel), and
+    [Npad, B] f32 scores to HBM (exact, see _segmax_s8_kernel), and
     phase 2 gathers the winning segments' cached scores instead of
     re-scoring them — bit-identical results by construction. Falls back
     to "rescore" beyond the unroll bound (the cache write grows with B
@@ -877,11 +845,7 @@ def fused_topk_segmax_s8(
     segmax = jnp.where(jnp.arange(S)[:, None] < s_valid, segmax, NEG_INF)
 
     k_seg = min(k + 1, S)
-    _, seg_idx = jax.lax.top_k(segmax.T, k_seg)  # [B, k_seg]
-    if sort_candidates:
-        # order-free (the final top-k re-ranks the candidate union): sort
-        # so the per-row block gathers read HBM in ascending address order
-        seg_idx = jnp.sort(seg_idx, axis=-1)
+    seg_idx = _select_segments(segmax.T, k_seg, sort_candidates)  # [B, k_seg]
 
     # phase 2: re-score the winning segments under the SAME quantized
     # metric — int8 operands with i32 accumulation (native MXU path; an
@@ -892,11 +856,9 @@ def fused_topk_segmax_s8(
     # 8 x top-50 over 1M x 128); beyond the unroll bound the batched form
     # keeps the trace size sane.
     if sc_full is not None:
-        # phase 2, gather form: the integer scores already live in HBM as
-        # [Npad, B] f32 (exact) — per query row, fetch the k_seg winning
-        # segments' 128-score blocks and dequantize; no corpus reads
-        sc3 = sc_full.reshape(S, seg, B)
-        scores_f = jnp.stack([sc3[seg_idx[b], :, b] for b in range(B)])
+        # gather form: the integer scores already live in HBM as [Npad, B]
+        # f32 (exact) — fetch the winning blocks and dequantize below
+        scores_f = _gather_cached_scores(sc_full, seg_idx, seg)
     else:
         d3 = doc_values.reshape(S, seg, H)
         if B <= _PHASE2_UNROLL_MAX_B:
@@ -918,16 +880,7 @@ def fused_topk_segmax_s8(
     scores = scores_f * seg_scales[seg_idx][..., None] * q_scale[
         :, :, None
     ]
-    gids = seg_idx[..., None] * seg + jnp.arange(seg)[None, None, :]
-    scores = jnp.where(gids < n_valid_t, scores, NEG_INF).reshape(B, -1)
-    gids = gids.reshape(B, -1)
-    k_eff = min(k, scores.shape[1])
-    vals, pos = jax.lax.top_k(scores, k_eff)
-    ids = jnp.take_along_axis(gids, pos, axis=1).astype(jnp.int32)
-    if k_eff < k:
-        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
-    return vals, jnp.where(vals <= NEG_INF, -1, ids)
+    return _candidate_union_topk(scores, seg_idx, seg, n_valid_t, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "seg"))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import select
 import sys
 import threading
 import time
@@ -57,6 +58,12 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
 
     class Handler(BaseHTTPRequestHandler):
         timeout = _REQUEST_TIMEOUT_S  # applies to the request socket
+        # unbuffered reads: handle_one_request polls the SOCKET to tell
+        # keep-alive idle time apart from a request in progress (see
+        # below); a Python-side read buffer could hide a pipelined
+        # request's bytes from that poll and stall it for a full poll
+        # interval (or, while draining, drop it entirely)
+        rbufsize = 0
         # HTTP/1.1 keep-alive: the stdlib default (1.0) closes the
         # connection per request, taxing every search with a TCP setup.
         # Every response path goes through _send (always sets
@@ -132,25 +139,47 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
         def _begin(self):
             """Per-request dispatch prologue: stamp the latency clock (the
             clock must not include keep-alive idle time, so it starts at
-            do_* dispatch, after the request line was read) and mark the
-            request in-flight for graceful drain."""
+            do_* dispatch, after the request line was read)."""
             self._t_start = time.monotonic()
-            self._in_flight = True
-            drain.enter()
 
         def handle_one_request(self):
-            self._in_flight = False
             # clear the previous request's path before the stdlib parses the
             # next request line: a parse failure (bad request line, 414, 505)
             # calls send_error before assigning self.path, and on a keep-alive
             # connection the stale value would misattribute the error to the
             # prior request's endpoint
             self.path = None
+            # Keep-alive idle wait, OUTSIDE the drain count: poll the
+            # socket so a request only counts as in flight once its first
+            # byte exists (rbufsize=0 above guarantees no byte can hide in
+            # a Python-side buffer). This closes the graceful-drain race
+            # where shutdown saw zero in-flight requests while a handler
+            # thread was already parsing one it had silently started
+            # reading — and it lets draining close idle keep-alive
+            # connections promptly instead of abandoning them mid-read.
+            deadline = time.monotonic() + self.timeout
+            while True:
+                if drain.draining.is_set():
+                    # shutting down: never start reading a new request
+                    self.close_connection = True
+                    return
+                if time.monotonic() >= deadline:
+                    # keep-alive idle timeout (the stdlib's socket timeout
+                    # would have fired here on the blocking read)
+                    self.close_connection = True
+                    return
+                try:
+                    ready, _, _ = select.select([self.connection], [], [], 0.25)
+                except (OSError, ValueError):
+                    self.close_connection = True
+                    return
+                if ready:
+                    break
+            drain.enter()  # first byte seen: in flight from parse to response
             try:
                 super().handle_one_request()
             finally:
-                if self._in_flight:
-                    drain.exit()
+                drain.exit()
 
         def do_OPTIONS(self):  # CORS preflight
             self._begin()
@@ -265,6 +294,7 @@ class _DrainState:
     def enter(self):
         with self._cond:
             self._inflight += 1
+            self._cond.notify_all()  # wakes wait_idle's settle re-check
 
     def exit(self):
         with self._cond:
@@ -276,10 +306,23 @@ class _DrainState:
         with self._cond:
             return self._inflight
 
-    def wait_idle(self, timeout: float) -> bool:
-        """True once no request is in flight; False on timeout."""
+    def wait_idle(self, timeout: float, settle: float = 0.35) -> bool:
+        """True once no request is in flight and the count has HELD zero
+        for ``settle`` seconds; False on timeout. The settle window covers
+        the one remaining enter() race: a handler whose socket poll
+        returned just before ``draining`` was set may not have bumped the
+        count yet (that gap has no blocking operation in it, so one poll
+        interval is ample even on a loaded single-core host)."""
+        deadline = time.monotonic() + timeout
         with self._cond:
-            return self._cond.wait_for(lambda: self._inflight == 0, timeout)
+            while True:
+                if not self._cond.wait_for(
+                    lambda: self._inflight == 0,
+                    max(deadline - time.monotonic(), 0.0),
+                ):
+                    return False
+                if not self._cond.wait_for(lambda: self._inflight > 0, settle):
+                    return True  # zero held for the whole settle window
 
 
 def serve(artifacts_path: str, port: int = 8888, host: str = "0.0.0.0", **engine_kwargs):
