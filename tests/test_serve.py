@@ -695,6 +695,63 @@ def test_graceful_drain_accounting(server_url, running_server):
         drain.draining.clear()  # shared module-scoped server
 
 
+def test_graceful_drain_finishes_inflight_request(server_url, running_server):
+    """The core shutdown contract, end to end: a request already being
+    served when draining starts FINISHES (advertising Connection: close)
+    instead of being killed, and wait_idle blocks until it does. The
+    engine is blocked under the handler to hold the request in flight
+    deterministically."""
+    import http.client
+
+    engine = running_server.RequestHandlerClass.engine
+    drain = running_server.RequestHandlerClass.drain
+    real_search = engine.search
+    entered = threading.Event()
+    release = threading.Event()
+
+    def slow_search(query, alpha=0.5):
+        entered.set()
+        assert release.wait(10.0), "test never released the handler"
+        return real_search(query, alpha=alpha)
+
+    engine.search = slow_search
+    result = {}
+
+    def client():
+        host, port = server_url.removeprefix("http://").split(":")
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        try:
+            conn.request(
+                "POST", "/search",
+                body=json.dumps({"query": "t0w1 inflight", "alpha": 0.5}),
+                headers={"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            result["status"] = resp.status
+            result["conn_header"] = resp.getheader("Connection")
+            resp.read()
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    try:
+        assert entered.wait(10.0)  # the request is in flight
+        assert drain.inflight >= 1
+        drain.draining.set()  # shutdown begins mid-request
+        assert not drain.wait_idle(0.1)  # drain waits for it
+        release.set()  # the request completes...
+        assert drain.wait_idle(10.0)  # ...and drain observes it
+        t.join(10.0)
+        assert result.get("status") == 200
+        assert result.get("conn_header") == "close"
+    finally:
+        engine.search = real_search
+        release.set()
+        drain.draining.clear()
+        t.join(5.0)
+
+
 # ---------------------------------------------------------------------------
 # mesh-backed serving over HTTP (BASELINE config 4: sharded-corpus serving)
 # ---------------------------------------------------------------------------

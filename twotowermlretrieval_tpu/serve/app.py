@@ -272,6 +272,7 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
             pass
 
     Handler.drain = drain  # reachable via server.RequestHandlerClass.drain
+    Handler.engine = engine  # same: lets tests/operators reach the engine
     return Handler
 
 
