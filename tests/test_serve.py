@@ -67,6 +67,53 @@ def test_index_k_capped_at_corpus(rng):
     assert vals.shape == (2, 10)
 
 
+def test_autotune_selects_fastest_variant_and_search_agrees(rng):
+    """autotune keeps the variant the (injected) timer says is fastest,
+    and search under that variant still matches the default's results."""
+    d = rng.normal(size=(700, 16)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    index = RetrievalIndex(d, storage_dtype="int8", use_pallas=True,
+                           interpret=True)
+    base_vals, base_ids = index.search(q, k=20)
+
+    canned = {
+        ("rescore", False): 3e-3, ("rescore", True): 2e-3,
+        ("gather", False): 4e-3, ("gather", True): 1e-3,
+    }
+    timings = index.autotune(timer=lambda p, s, B, k, iters: canned[(p, s)])
+    assert timings == canned
+    assert (index.phase2, index.sort_candidates) == ("gather", True)
+    vals, ids = index.search(q, k=20)
+    np.testing.assert_array_equal(ids, base_ids)
+    np.testing.assert_array_equal(vals, base_vals)  # s8 scores are exact i32
+
+
+def test_autotune_real_timer_runs_all_variants(rng):
+    """The measurement path itself (chained jit programs) runs every
+    variant and picks one — tiny sizes, interpret mode."""
+    d = rng.normal(size=(600, 8)).astype(np.float32)
+    q = rng.normal(size=(2, 8)).astype(np.float32)
+    for dtype in ("int8", "bfloat16"):
+        index = RetrievalIndex(d, storage_dtype=dtype, use_pallas=True,
+                               interpret=True)
+        timings = index.autotune(B=2, k=5, iters=3)
+        assert set(timings) == set(RetrievalIndex._AUTOTUNE_VARIANTS)
+        assert all(t > 0 for t in timings.values())
+        assert (index.phase2, index.sort_candidates) in timings
+        vals, ids = index.search(q, k=5)  # still correct under the winner
+        assert vals.shape == (2, 5)
+
+
+def test_autotune_noop_off_kernel_path(rng):
+    """Where the fused kernels never dispatch (XLA fallback), autotune
+    changes nothing and reports {}."""
+    d = rng.normal(size=(100, 8)).astype(np.float32)
+    index = RetrievalIndex(d, storage_dtype="float32", use_pallas=False)
+    assert index.autotune() == {}
+    assert (index.phase2, index.sort_candidates) == ("rescore", False)
+
+
 # ---------------------------------------------------------------------------
 # inferencer
 # ---------------------------------------------------------------------------

@@ -362,6 +362,12 @@ def main():
                              "at startup")
     parser.add_argument("--nprobe", type=int, default=16,
                         help="ivf probe width (recall/latency trade-off)")
+    parser.add_argument("--autotune-retrieval", action="store_true",
+                        help="at startup, time the fused retrieval-kernel "
+                             "variants (phase-2 re-score vs score-cache "
+                             "gather, sorted vs unsorted candidates) on "
+                             "the live corpus and serve with the fastest; "
+                             "costs one compile per variant")
     parser.add_argument("--cache-size", type=int, default=0,
                         help="LRU response cache entries (0 = off): repeat "
                              "(query, alpha) requests skip both device "
@@ -390,6 +396,7 @@ def main():
         nprobe=args.nprobe,
         warmup=args.warmup,
         cache_size=args.cache_size,
+        autotune_retrieval=args.autotune_retrieval,
         mesh=build_serving_mesh(args.mesh_data, args.mesh_model),
     )
 

@@ -93,6 +93,7 @@ class SearchEngine:
         nprobe: int = 16,
         warmup: Optional[bool] = None,  # compile the search path up front
         cache_size: int = 0,  # >0 enables the LRU response cache
+        autotune_retrieval: bool = False,  # measure kernel variants at boot
     ):
         loaded = load_artifacts(artifacts_path, require_index=True)
         self.config = loaded.config
@@ -136,6 +137,21 @@ class SearchEngine:
         # which can starve micro-batch followers past their wait deadline.
         # Every micro-batch bucket is warmed — a burst wider than the
         # smallest bucket would otherwise still hit a cold executable.
+        # Autotune BEFORE warmup so the warmed executables are built for
+        # the variant that will actually serve (RetrievalIndex.autotune:
+        # no-op off the fused-kernel dispatch path).
+        if autotune_retrieval:
+            timings = self.index.autotune()
+            if timings:
+                best = min(timings, key=timings.get)
+                print(
+                    "retrieval autotune: "
+                    + ", ".join(
+                        f"phase2={p}{'+sorted' if s else ''} "
+                        f"{t * 1e3:.3f} ms" for (p, s), t in sorted(timings.items())
+                    )
+                    + f" -> phase2={best[0]}, sort_candidates={best[1]}"
+                )
         warmup = warmup if warmup is not None else batch_window_ms > 0
         if warmup:
             for bucket in self._BATCH_BUCKETS:

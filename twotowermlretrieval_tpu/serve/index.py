@@ -20,6 +20,8 @@ run through parallel.topk.distributed_topk[_int8] (BASELINE config 4).
 
 from __future__ import annotations
 
+import functools
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -49,6 +51,43 @@ def _pad_rows(x: np.ndarray) -> np.ndarray:
     return np.pad(x, widths)
 
 
+# Variant-timing chains for RetrievalIndex.autotune: M kernel calls inside
+# ONE jit, data-dependence threaded through the carry so XLA can neither
+# hoist nor dead-code them; a host fetch then pays the relay round-trip
+# once for all M calls (docs/RESULTS.md timing notes). Corpus arrays are
+# ARGUMENTS, never closures — a jit that closes over a large array bakes
+# it into the program (remote-compile killer).
+@functools.partial(
+    jax.jit, static_argnames=("m", "k", "phase2", "srt", "interpret")
+)
+def _time_chain_s8(q, docs, scales, n_valid, m, k, phase2, srt, interpret):
+    def body(acc, _):
+        v, _ = fused_topk_segmax_s8(
+            q + acc * 1e-30, docs, scales, k=k, interpret=interpret,
+            n_valid=n_valid, phase2=phase2, sort_candidates=srt,
+        )
+        return acc * 0.5 + jnp.sum(v) * 1e-20, None
+
+    acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=m)
+    return acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "k", "phase2", "srt", "interpret")
+)
+def _time_chain(q, docs, n_valid, m, k, phase2, srt, interpret):
+    def body(acc, _):
+        v, _ = fused_topk_segmax(
+            (q + acc * 1e-30).astype(docs.dtype), docs, k=k,
+            interpret=interpret, n_valid=n_valid, phase2=phase2,
+            sort_candidates=srt,
+        )
+        return acc * 0.5 + jnp.sum(v.astype(jnp.float32)) * 1e-20, None
+
+    acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=m)
+    return acc
+
+
 class RetrievalIndex:
     def __init__(
         self,
@@ -66,6 +105,13 @@ class RetrievalIndex:
         self.dim = int(doc_embeddings.shape[1])
         self.mesh = mesh
         self.interpret = interpret
+        # fused-kernel phase-2 strategy (ops.topk): re-score the winning
+        # segments (default) or gather their phase-1-cached scores, with
+        # optionally address-sorted candidate gathers. The best choice is
+        # hardware/shape-dependent — autotune() measures on the live
+        # corpus and flips these.
+        self.phase2 = "rescore"
+        self.sort_candidates = False
         # None = auto-dispatch per search by measured speed
         # (ops.topk.use_streaming_kernel): segmax streaming kernel for
         # bf16/f32 on TPU, two-phase XLA for int8/huge batches/CPU.
@@ -175,7 +221,8 @@ class RetrievalIndex:
                 # the scan at the s8 matmul floor — always preferred on TPU
                 vals, ids = fused_topk_segmax_s8(
                     qj, self._docs, self._scales, k=k, interpret=self.interpret,
-                    n_valid=self._n_valid,
+                    n_valid=self._n_valid, phase2=self.phase2,
+                    sort_candidates=self.sort_candidates,
                 )
             else:
                 vals, ids = topk_segmented_s8(
@@ -194,8 +241,79 @@ class RetrievalIndex:
             )
         elif use_streaming_kernel(qj.shape[0], self._docs.shape[0], self.use_pallas):
             vals, ids = fused_topk_segmax(
-                qj, self._docs, k=k, interpret=self.interpret, n_valid=self._n_valid
+                qj, self._docs, k=k, interpret=self.interpret,
+                n_valid=self._n_valid, phase2=self.phase2,
+                sort_candidates=self.sort_candidates,
             )
         else:
             vals, ids = topk_segmented(qj, self._docs, k=k, n_valid=self._n_valid)
         return np.asarray(vals)[:B], np.asarray(ids)[:B]
+
+    _AUTOTUNE_VARIANTS = (
+        ("rescore", False), ("rescore", True),
+        ("gather", False), ("gather", True),
+    )
+
+    def autotune(self, B: int = 8, k: int = 50, iters: int = 20,
+                 timer=None) -> dict:
+        """Measure the fused-kernel phase-2 variants on the LIVE corpus
+        and keep the fastest (sets ``self.phase2``/``self.sort_candidates``
+        for every subsequent :meth:`search`). FAISS-style: the right
+        variant depends on hardware generation, corpus size, and batch
+        shape, so it is resolved by measurement where the index actually
+        runs rather than hard-coded from one machine's numbers.
+
+        Only meaningful where the streaming kernels dispatch (single
+        device, non-ivf, TPU unless ``use_pallas`` forces them);
+        otherwise a no-op returning {}. Each variant compiles its own
+        timing program — through a remote relay that is ~6-60 s per
+        variant, so this is opt-in (``ttr-serve --autotune-retrieval``).
+        Returns {(phase2, sort_candidates): seconds_per_call}.
+
+        ``timer``: optional ``f(phase2, sort_candidates, B, k, iters) ->
+        seconds`` override (tests inject canned values)."""
+        if self.ivf is not None or self.ivf_sharded is not None or self.mesh is not None:
+            return {}
+        kernel_on = (
+            self.use_pallas
+            if self.use_pallas is not None
+            else jax.default_backend() == "tpu"
+        )
+        if not kernel_on or not (
+            self.quantized
+            or use_streaming_kernel(B, self._docs.shape[0], self.use_pallas)
+        ):
+            return {}
+        k = min(k, self.num_docs)
+        timer = timer or self._time_variant
+        results = {v: timer(*v, B, k, iters) for v in self._AUTOTUNE_VARIANTS}
+        self.phase2, self.sort_candidates = min(results, key=results.get)
+        return results
+
+    def _time_variant(self, phase2, srt, B, k, iters) -> float:
+        """Seconds per search call for one variant: chain `iters` calls
+        inside one jit and difference against the 1-call program (host
+        fetches on a remote-attached device cost ~24 ms regardless of
+        compute, so per-call timing would measure only the relay)."""
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal((B, self.dim)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        qj = jnp.asarray(q)
+        if self.quantized:
+            run = lambda m: float(_time_chain_s8(  # noqa: E731
+                qj, self._docs, self._scales, self._n_valid, m, k, phase2,
+                srt, self.interpret,
+            ))
+        else:
+            run = lambda m: float(_time_chain(  # noqa: E731
+                qj, self._docs, self._n_valid, m, k, phase2, srt,
+                self.interpret,
+            ))
+        run(1)  # compile both program lengths before timing
+        run(iters)
+        t0 = time.monotonic()
+        run(1)
+        t1 = time.monotonic()
+        run(iters)
+        t2 = time.monotonic()
+        return max((t2 - t1) - (t1 - t0), 1e-9) / (iters - 1)
