@@ -288,6 +288,28 @@ def test_distributed_topk_matches_oracle():
     assert (np.asarray(ids) < 1000).all()
 
 
+def test_distributed_topk_gather_sorted_matches_oracle():
+    """The shard-local segmax kernels accept the phase-2 variants
+    (score-cache gather, sorted candidate gathers) through the
+    distributed merge without changing results."""
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    d = rng.normal(size=(1000, 16)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    docs_sharded, n_valid = shard_corpus(d, mesh)
+    vals, ids = distributed_topk(
+        jnp.asarray(q), docs_sharded, k=20, mesh=mesh, n_valid=n_valid,
+        use_pallas=True, interpret=True, phase2="gather",
+        sort_candidates=True,
+    )
+    ref_vals, ref_ids = topk_oracle(jnp.asarray(q), jnp.asarray(d), 20)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
 def test_distributed_topk_all_negative_scores():
     # padding rows must not leak in when all real scores are negative
     mesh = make_mesh(data=8, model=1)
@@ -386,7 +408,10 @@ def test_distributed_topk_does_not_retrace_per_call():
     q = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
     _compiled_topk.cache_clear()
     distributed_topk(q, docs_sharded, k=5, mesh=mesh, n_valid=n_valid, use_pallas=False)
-    fn = _compiled_topk(mesh, 5, False, False, quantized=False)
+    # mirror distributed_topk's call exactly: lru_cache keys on the
+    # positional/keyword split, not just the values
+    fn = _compiled_topk(mesh, 5, False, False, quantized=False,
+                        phase2="rescore", sort_candidates=False)
     traces_after_first = fn._cache_size()
     for _ in range(3):
         distributed_topk(q, docs_sharded, k=5, mesh=mesh, n_valid=n_valid, use_pallas=False)

@@ -51,7 +51,9 @@ def _merge_across_shards(local_fn, queries, k, n_valid, shard_rows):
 
 @functools.lru_cache(maxsize=32)  # bounded: long-lived servers with varying
 # k/fanout would otherwise accumulate executables + Mesh refs forever
-def _compiled_topk(mesh: Mesh, k: int, use_pallas: bool, interpret: bool, quantized: bool):
+def _compiled_topk(mesh: Mesh, k: int, use_pallas: bool, interpret: bool,
+                   quantized: bool, phase2: str = "rescore",
+                   sort_candidates: bool = False):
     """One shard_map+jit callable per (mesh, k, backend, storage) combo.
 
     Built ONCE and cached: a fresh shard_map closure wrapped in a fresh
@@ -91,7 +93,9 @@ def _compiled_topk(mesh: Mesh, k: int, use_pallas: bool, interpret: bool, quanti
             def local_fn(q, local_valid):
                 if use_pallas:
                     return fused_topk_segmax(
-                        q, docs_shard, k=k_local, interpret=interpret, n_valid=local_valid
+                        q, docs_shard, k=k_local, interpret=interpret,
+                        n_valid=local_valid, phase2=phase2,
+                        sort_candidates=sort_candidates,
                     )
                 return topk_segmented(q, docs_shard, k=k_local, n_valid=local_valid)
 
@@ -113,15 +117,20 @@ def distributed_topk(
     n_valid: int | None = None,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    phase2: str = "rescore",
+    sort_candidates: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over the sharded corpus. Returns replicated
     ([B, k] values, [B, k] global ids). ``n_valid`` is the true corpus size
-    when the sharded array carries zero-padding rows (shard_corpus)."""
+    when the sharded array carries zero-padding rows (shard_corpus).
+    ``phase2``/``sort_candidates`` select the shard-local segmax phase-2
+    strategy (ops.topk.fused_topk_segmax; ignored on the XLA path)."""
     shard_rows = docs_sharded.shape[0] // mesh.shape[DATA_AXIS]
     use_pallas = use_streaming_kernel(queries.shape[0], shard_rows, use_pallas)
     if n_valid is None:
         n_valid = docs_sharded.shape[0]
-    fn = _compiled_topk(mesh, k, use_pallas, interpret, quantized=False)
+    fn = _compiled_topk(mesh, k, use_pallas, interpret, quantized=False,
+                        phase2=phase2, sort_candidates=sort_candidates)
     return fn(queries, docs_sharded, jnp.int32(n_valid))
 
 
@@ -198,7 +207,8 @@ def shard_corpus_int8(doc_embeddings, mesh: Mesh):
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_topk_s8(mesh: Mesh, k: int, use_pallas: bool, interpret: bool):
+def _compiled_topk_s8(mesh: Mesh, k: int, use_pallas: bool, interpret: bool,
+                      phase2: str = "rescore", sort_candidates: bool = False):
     """shard_map+jit callable over the per-SEGMENT quantized int8 corpus
     (ops.topk.quantize_segments): each shard runs the s8xs8 segmax kernel
     (or its exact XLA twin off-TPU), then the same O(D*k) merge."""
@@ -215,7 +225,8 @@ def _compiled_topk_s8(mesh: Mesh, k: int, use_pallas: bool, interpret: bool):
             if use_pallas:
                 return fused_topk_segmax_s8(
                     q, values_shard, segscales_shard, k=k_local,
-                    interpret=interpret, n_valid=local_valid,
+                    interpret=interpret, n_valid=local_valid, phase2=phase2,
+                    sort_candidates=sort_candidates,
                 )
             return topk_segmented_s8(
                 q, values_shard, segscales_shard, k=k_local, n_valid=local_valid
@@ -240,15 +251,20 @@ def distributed_topk_s8(
     n_valid: int | None = None,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    phase2: str = "rescore",
+    sort_candidates: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-segment-quantized variant of :func:`distributed_topk_int8`
     (half the HBM traffic of bf16 AND a scan that runs at the s8 matmul
-    floor — the per-row format's dequant stalls are gone)."""
+    floor — the per-row format's dequant stalls are gone).
+    ``phase2``/``sort_candidates`` select the shard-local segmax phase-2
+    strategy (ops.topk.fused_topk_segmax_s8; ignored on the XLA path)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if n_valid is None:
         n_valid = doc_values.shape[0]
-    fn = _compiled_topk_s8(mesh, k, bool(use_pallas), interpret)
+    fn = _compiled_topk_s8(mesh, k, bool(use_pallas), interpret,
+                           phase2=phase2, sort_candidates=sort_candidates)
     return fn(queries, doc_values, seg_scales, jnp.int32(n_valid))
 
 

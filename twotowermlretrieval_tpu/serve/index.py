@@ -210,7 +210,8 @@ class RetrievalIndex:
                 vals, ids = distributed_topk_s8(
                     qj, self._docs, self._scales, k=k, mesh=self.mesh,
                     n_valid=self._n_valid, use_pallas=self.use_pallas,
-                    interpret=self.interpret,
+                    interpret=self.interpret, phase2=self.phase2,
+                    sort_candidates=self.sort_candidates,
                 )
             elif (
                 self.use_pallas
@@ -238,6 +239,7 @@ class RetrievalIndex:
             vals, ids = distributed_topk(
                 qj, self._docs, k=k, mesh=self.mesh, n_valid=self._n_valid,
                 use_pallas=self.use_pallas, interpret=self.interpret,
+                phase2=self.phase2, sort_candidates=self.sort_candidates,
             )
         elif use_streaming_kernel(qj.shape[0], self._docs.shape[0], self.use_pallas):
             vals, ids = fused_topk_segmax(
