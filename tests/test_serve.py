@@ -80,6 +80,7 @@ def test_autotune_selects_fastest_variant_and_search_agrees(rng):
     canned = {
         ("rescore", False): 3e-3, ("rescore", True): 2e-3,
         ("gather", False): 4e-3, ("gather", True): 1e-3,
+        ("xla", False): 5e-3,
     }
     timings = index.autotune(timer=lambda p, s, B, k, iters: canned[(p, s)])
     assert timings == canned
@@ -87,6 +88,13 @@ def test_autotune_selects_fastest_variant_and_search_agrees(rng):
     vals, ids = index.search(q, k=20)
     np.testing.assert_array_equal(ids, base_ids)
     np.testing.assert_array_equal(vals, base_vals)  # s8 scores are exact i32
+
+    # the two-phase XLA path winning routes search() off the kernels
+    canned[("xla", False)] = 1e-4
+    index.autotune(timer=lambda p, s, B, k, iters: canned[(p, s)])
+    assert index.use_pallas is False
+    vals, ids = index.search(q, k=20)
+    np.testing.assert_array_equal(ids, base_ids)  # same quantized metric
 
 
 def test_autotune_real_timer_runs_all_variants(rng):

@@ -62,10 +62,14 @@ def _pad_rows(x: np.ndarray) -> np.ndarray:
 )
 def _time_chain_s8(q, docs, scales, n_valid, m, k, phase2, srt, interpret):
     def body(acc, _):
-        v, _ = fused_topk_segmax_s8(
-            q + acc * 1e-30, docs, scales, k=k, interpret=interpret,
-            n_valid=n_valid, phase2=phase2, sort_candidates=srt,
-        )
+        qq = q + acc * 1e-30
+        if phase2 == "xla":
+            v, _ = topk_segmented_s8(qq, docs, scales, k=k, n_valid=n_valid)
+        else:
+            v, _ = fused_topk_segmax_s8(
+                qq, docs, scales, k=k, interpret=interpret,
+                n_valid=n_valid, phase2=phase2, sort_candidates=srt,
+            )
         return acc * 0.5 + jnp.sum(v) * 1e-20, None
 
     acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=m)
@@ -77,11 +81,14 @@ def _time_chain_s8(q, docs, scales, n_valid, m, k, phase2, srt, interpret):
 )
 def _time_chain(q, docs, n_valid, m, k, phase2, srt, interpret):
     def body(acc, _):
-        v, _ = fused_topk_segmax(
-            (q + acc * 1e-30).astype(docs.dtype), docs, k=k,
-            interpret=interpret, n_valid=n_valid, phase2=phase2,
-            sort_candidates=srt,
-        )
+        qq = (q + acc * 1e-30).astype(docs.dtype)
+        if phase2 == "xla":
+            v, _ = topk_segmented(qq, docs, k=k, n_valid=n_valid)
+        else:
+            v, _ = fused_topk_segmax(
+                qq, docs, k=k, interpret=interpret, n_valid=n_valid,
+                phase2=phase2, sort_candidates=srt,
+            )
         return acc * 0.5 + jnp.sum(v.astype(jnp.float32)) * 1e-20, None
 
     acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=m)
@@ -254,13 +261,16 @@ class RetrievalIndex:
     _AUTOTUNE_VARIANTS = (
         ("rescore", False), ("rescore", True),
         ("gather", False), ("gather", True),
+        ("xla", False),  # the two-phase XLA path, [B, N] materialized —
+        # near-competitive on v5e bf16; other TPU generations may flip it
     )
 
     def autotune(self, B: int = 8, k: int = 50, iters: int = 20,
                  timer=None) -> dict:
-        """Measure the fused-kernel phase-2 variants on the LIVE corpus
-        and keep the fastest (sets ``self.phase2``/``self.sort_candidates``
-        for every subsequent :meth:`search`). FAISS-style: the right
+        """Measure the retrieval variants on the LIVE corpus and keep the
+        fastest: the fused-kernel phase-2 strategies (sets ``self.phase2``
+        / ``self.sort_candidates``) plus the two-phase XLA path (sets
+        ``self.use_pallas = False`` when it wins). FAISS-style: the right
         variant depends on hardware generation, corpus size, and batch
         shape, so it is resolved by measurement where the index actually
         runs rather than hard-coded from one machine's numbers.
@@ -289,7 +299,14 @@ class RetrievalIndex:
         k = min(k, self.num_docs)
         timer = timer or self._time_variant
         results = {v: timer(*v, B, k, iters) for v in self._AUTOTUNE_VARIANTS}
-        self.phase2, self.sort_candidates = min(results, key=results.get)
+        best = min(results, key=results.get)
+        if best[0] == "xla":
+            # the two-phase XLA path won: route search() off the fused
+            # kernels entirely (phase2/sort are then irrelevant)
+            self.use_pallas = False
+            self.phase2, self.sort_candidates = "rescore", False
+        else:
+            self.phase2, self.sort_candidates = best
         return results
 
     def _time_variant(self, phase2, srt, B, k, iters) -> float:
