@@ -122,3 +122,55 @@ def test_sampled_kmeans_recall(corpus):
     ai, ei = np.asarray(ai), np.asarray(ei)
     recall = np.mean([len(set(ai[b]) & set(ei[b])) / 10 for b in range(len(ai))])
     assert recall >= 0.85, recall
+
+
+def test_pick_nprobe_meets_target_and_is_minimal_rung(corpus):
+    """pick_nprobe returns the first doubling rung whose measured recall
+    meets the target, and the measurement it reports is reproducible."""
+    from twotowermlretrieval_tpu.ops.ivf import pick_nprobe
+
+    docs, queries = corpus
+    index = build_ivf(docs, num_clusters=64, iters=8, storage_dtype="float32")
+    nprobe, recall = pick_nprobe(
+        index, docs, k=10, target_recall=0.95, queries=queries
+    )
+    assert recall >= 0.95
+    assert nprobe >= 1 and (nprobe & (nprobe - 1)) == 0 or nprobe == index.docs.shape[0]
+    # the reported recall is what ivf_search actually delivers at that rung
+    _, ids = ivf_search(jnp.asarray(queries), index, k=10, nprobe=nprobe)
+    _, ei = topk_oracle(jnp.asarray(queries), jnp.asarray(docs), 10)
+    ids, ei = np.asarray(ids), np.asarray(ei)
+    measured = np.mean([len(set(ids[b]) & set(ei[b])) / 10 for b in range(len(ids))])
+    np.testing.assert_allclose(measured, recall, atol=1e-9)
+    # the previous rung (if any) must have missed the target — minimality
+    if nprobe > 1:
+        _, ids_prev = ivf_search(jnp.asarray(queries), index, k=10, nprobe=nprobe // 2)
+        ids_prev = np.asarray(ids_prev)
+        prev = np.mean([len(set(ids_prev[b]) & set(ei[b])) / 10 for b in range(len(ids_prev))])
+        assert prev < 0.95
+
+
+def test_pick_nprobe_unreachable_target_returns_ceiling(corpus):
+    """A target above what even exhaustive probing delivers returns C and
+    the honest measured recall (f32 storage: 1.0 at nprobe=C up to ties)."""
+    from twotowermlretrieval_tpu.ops.ivf import pick_nprobe
+
+    docs, queries = corpus
+    index = build_ivf(docs, num_clusters=32, iters=4, storage_dtype="float32")
+    nprobe, recall = pick_nprobe(
+        index, docs, k=10, target_recall=1.01, queries=queries  # impossible
+    )
+    assert nprobe == index.docs.shape[0]
+    assert recall > 0.99  # exhaustive probe of f32 blocks == exact (ties aside)
+
+
+def test_pick_nprobe_sampled_queries_default(corpus):
+    """Without an explicit query set, corpus rows are sampled as probes
+    (self-retrieval proxy) and the tuner still converges."""
+    from twotowermlretrieval_tpu.ops.ivf import pick_nprobe
+
+    docs, _ = corpus
+    index = build_ivf(docs, num_clusters=64, iters=8, storage_dtype="bfloat16")
+    nprobe, recall = pick_nprobe(index, docs, k=10, target_recall=0.9,
+                                 num_queries=32)
+    assert recall >= 0.9 or nprobe == index.docs.shape[0]

@@ -284,3 +284,57 @@ def ivf_search(
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=-3.0e38)
         out_ids = jnp.pad(out_ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
     return vals, jnp.where(vals <= -3.0e38, -1, out_ids)
+
+
+def pick_nprobe(
+    index: IVFIndex,
+    doc_embeddings: np.ndarray,  # [N, H] f32, row i = original doc id i
+    k: int = 50,
+    target_recall: float = 0.99,
+    num_queries: int = 256,
+    queries: Optional[np.ndarray] = None,  # real query embeddings, if any
+    seed: int = 0,
+) -> Tuple[int, float]:
+    """Smallest nprobe whose measured recall@k vs EXACT search meets
+    ``target_recall`` — the recall/latency dial resolved by measurement
+    instead of folklore. Recall is hardware-independent, so this runs
+    anywhere (CPU included) and the result transfers to the serving chip;
+    run it once at index-build time (``ttr-build-index --target-recall``)
+    and serve with the returned value (``ttr-serve --nprobe``).
+
+    Probe queries default to ``num_queries`` sampled corpus rows
+    (self-retrieval proxy, the standard stand-in when no query
+    distribution is available); pass ``queries`` for a real sample.
+    Walks nprobe up a doubling ladder (1, 2, 4, ... C), so at most
+    log2(C)+1 search compiles. Returns (nprobe, measured_recall) for the
+    first rung meeting the target, or (C, recall) if even exhaustive
+    probing misses it (at nprobe=C every packed slot is scored, so f32 /
+    bf16 storage recalls 1.0 by construction; int8 storage can still
+    fall short of the f32-exact oracle by its quantization error)."""
+    from twotowermlretrieval_tpu.ops.topk import topk_oracle
+
+    d = np.asarray(doc_embeddings, np.float32)
+    if queries is None:
+        rng = np.random.default_rng(seed)
+        sample = rng.choice(d.shape[0], size=min(num_queries, d.shape[0]),
+                            replace=False)
+        queries = d[sample]
+    q = jnp.asarray(np.asarray(queries, np.float32))
+    k = min(k, d.shape[0])
+    _, exact_ids = topk_oracle(q, jnp.asarray(d), k)
+    exact_sets = [set(np.asarray(row).tolist()) for row in exact_ids]
+
+    C = int(index.centroids.shape[0])
+    nprobe = 1
+    while True:
+        _, ids = ivf_search(q, index, k=k, nprobe=nprobe)
+        ids = np.asarray(ids)
+        recall = float(
+            np.mean([
+                len(exact_sets[b].intersection(ids[b].tolist())) / k
+                for b in range(ids.shape[0])
+            ])
+        )
+        if recall >= target_recall or nprobe >= C:
+            return min(nprobe, C), recall
+        nprobe = min(nprobe * 2, C)

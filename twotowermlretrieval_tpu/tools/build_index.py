@@ -33,6 +33,15 @@ def main():
                         help=">0: run Lloyd iterations on this many sampled "
                              "rows (recommended ~262144 for N >> 1M)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--target-recall", type=float, default=0.0,
+                        help=">0: after building, measure recall@k vs "
+                             "exact search on sampled queries and print "
+                             "the smallest nprobe meeting this target "
+                             "(serve with ttr-serve --nprobe <value>)")
+    parser.add_argument("--tune-k", type=int, default=50,
+                        help="k for the --target-recall measurement")
+    parser.add_argument("--tune-queries", type=int, default=256,
+                        help="sampled probe queries for --target-recall")
     args = parser.parse_args()
 
     art = Path(args.artifacts)
@@ -60,6 +69,19 @@ def main():
     save_ivf(out, index)
     print(f"wrote {out} ({index.docs.shape[0]} blocks x cap {index.cap}) "
           f"in {time.time() - t0:.1f}s")
+
+    if args.target_recall > 0:
+        from twotowermlretrieval_tpu.ops.ivf import pick_nprobe
+
+        nprobe, recall = pick_nprobe(
+            index, doc_embeddings, k=args.tune_k,
+            target_recall=args.target_recall,
+            num_queries=args.tune_queries, seed=args.seed,
+        )
+        verdict = "meets" if recall >= args.target_recall else "BEST AVAILABLE under"
+        print(f"nprobe={nprobe} {verdict} recall@{args.tune_k} target "
+              f"{args.target_recall} (measured {recall:.4f}) — serve with "
+              f"ttr-serve --index-type ivf --nprobe {nprobe}")
 
 
 if __name__ == "__main__":
