@@ -750,6 +750,42 @@ def test_graceful_drain_accounting(server_url, running_server):
         drain.draining.clear()  # shared module-scoped server
 
 
+def test_post_body_split_across_tcp_segments(server_url):
+    """A POST body arriving in multiple TCP segments is read in full:
+    rfile is raw/unbuffered (rbufsize=0), whose read(n) is a single recv
+    and may return short — the handler must loop (_read_exact), or a
+    multi-segment body is truncated to a spurious 400 and its tail
+    poisons the keep-alive stream."""
+    import socket
+
+    host, port = server_url.removeprefix("http://").split(":")
+    body = json.dumps({"query": "t0w1 t0w2 " + "x" * 4000, "alpha": 0.5}).encode()
+    head = (
+        f"POST /search HTTP/1.1\r\nHost: {host}\r\n"
+        f"Content-Type: application/json\r\nContent-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode()
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        s.sendall(head + body[:100])  # headers + a partial first segment
+        time.sleep(0.3)  # force the server to see a short first recv
+        s.sendall(body[100:])
+        s.settimeout(30)
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += s.recv(65536)
+        status = resp.split(b"\r\n", 1)[0]
+        assert b"200" in status, resp[:200]
+        # drain the advertised body so the payload parsed end to end
+        head_part, _, tail = resp.partition(b"\r\n\r\n")
+        length = int(
+            [ln for ln in head_part.split(b"\r\n")
+             if ln.lower().startswith(b"content-length")][0].split(b":")[1]
+        )
+        while len(tail) < length:
+            tail += s.recv(65536)
+        assert b"results" in tail
+
+
 def test_graceful_drain_finishes_inflight_request(server_url, running_server):
     """The core shutdown contract, end to end: a request already being
     served when draining starts FINISHES (advertising Connection: close)

@@ -62,7 +62,11 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
         # keep-alive idle time apart from a request in progress (see
         # below); a Python-side read buffer could hide a pipelined
         # request's bytes from that poll and stall it for a full poll
-        # interval (or, while draining, drop it entirely)
+        # interval (or, while draining, drop it entirely). Cost: header
+        # parsing pays one recv per byte (RawIOBase.readline has no
+        # peek) — hundreds of ~1 us syscalls per request, noise next to
+        # the device search — and raw read(n) may return SHORT, so every
+        # body read must go through _read_exact.
         rbufsize = 0
         # HTTP/1.1 keep-alive: the stdlib default (1.0) closes the
         # connection per request, taxing every search with a TCP setup.
@@ -99,6 +103,22 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
 
         def _send_json(self, payload, code: int = 200):
             self._send(code, json.dumps(payload).encode(), "application/json")
+
+        def _read_exact(self, n: int) -> bytes:
+            """Read exactly n body bytes (or fewer at EOF). rfile is a raw
+            unbuffered SocketIO (rbufsize=0 above), whose read(n) performs
+            ONE recv and may return short — a multi-segment POST body
+            would otherwise be truncated and its tail misparsed as the
+            next request line on the keep-alive connection."""
+            parts = []
+            remaining = n
+            while remaining > 0:
+                chunk = self.rfile.read(min(remaining, 1 << 16))
+                if not chunk:
+                    break
+                parts.append(chunk)
+                remaining -= len(chunk)
+            return b"".join(parts)
 
         def _discard_body(self):
             """Consume an unread request body so leftover bytes are not
@@ -157,6 +177,15 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
             # thread was already parsing one it had silently started
             # reading — and it lets draining close idle keep-alive
             # connections promptly instead of abandoning them mid-read.
+            # select.poll, not select.select: select() raises ValueError
+            # on any fd >= FD_SETSIZE (1024), which would silently drop
+            # every high-numbered connection under load
+            poller = select.poll()
+            try:
+                poller.register(self.connection, select.POLLIN)
+            except (OSError, ValueError):
+                self.close_connection = True
+                return
             deadline = time.monotonic() + self.timeout
             while True:
                 if drain.draining.is_set():
@@ -169,8 +198,8 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
                     self.close_connection = True
                     return
                 try:
-                    ready, _, _ = select.select([self.connection], [], [], 0.25)
-                except (OSError, ValueError):
+                    ready = poller.poll(250)  # ms
+                except OSError:
                     self.close_connection = True
                     return
                 if ready:
@@ -254,8 +283,11 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
                     {"error": f"request body exceeds {_MAX_BODY_BYTES} bytes"}, 413
                 )
                 return
+            body = self._read_exact(length)
+            if len(body) < length:
+                self.close_connection = True  # client hung up mid-body
             try:
-                payload = json.loads(self.rfile.read(length) or b"{}")
+                payload = json.loads(body or b"{}")
                 query = payload["query"]
                 alpha = float(payload.get("alpha", 0.5))
             except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
@@ -367,7 +399,9 @@ def main():
                              "variants (phase-2 re-score vs score-cache "
                              "gather, sorted vs unsorted candidates) on "
                              "the live corpus and serve with the fastest; "
-                             "costs one compile per variant")
+                             "costs one compile per variant (single-device "
+                             "exact index only — a no-op, with a notice, "
+                             "for mesh/ivf serving)")
     parser.add_argument("--cache-size", type=int, default=0,
                         help="LRU response cache entries (0 = off): repeat "
                              "(query, alpha) requests skip both device "

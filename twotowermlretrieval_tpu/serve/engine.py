@@ -143,14 +143,28 @@ class SearchEngine:
         if autotune_retrieval:
             timings = self.index.autotune()
             if timings:
-                best = min(timings, key=timings.get)
+                # report the index's AUTHORITATIVE post-tune state, not a
+                # re-derived winner (the xla-wins case routes via
+                # use_pallas=False rather than phase2)
+                chosen = (
+                    "xla two-phase"
+                    if self.index.use_pallas is False
+                    else f"phase2={self.index.phase2}"
+                    + ("+sorted" if self.index.sort_candidates else "")
+                )
                 print(
                     "retrieval autotune: "
                     + ", ".join(
-                        f"phase2={p}{'+sorted' if s else ''} "
-                        f"{t * 1e3:.3f} ms" for (p, s), t in sorted(timings.items())
+                        f"{p}{'+sorted' if s else ''} {t * 1e3:.3f} ms"
+                        for (p, s), t in sorted(timings.items())
                     )
-                    + f" -> phase2={best[0]}, sort_candidates={best[1]}"
+                    + f" -> serving with {chosen}"
+                )
+            else:
+                print(
+                    "retrieval autotune: no-op — the fused kernels are not "
+                    "dispatched on this path (mesh/ivf serving or XLA-only "
+                    "backend); serving with the defaults"
                 )
         warmup = warmup if warmup is not None else batch_window_ms > 0
         if warmup:

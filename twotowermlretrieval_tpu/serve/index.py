@@ -297,6 +297,7 @@ class RetrievalIndex:
         ):
             return {}
         k = min(k, self.num_docs)
+        iters = max(iters, 2)  # the timer differences M=1 vs M=iters
         timer = timer or self._time_variant
         results = {v: timer(*v, B, k, iters) for v in self._AUTOTUNE_VARIANTS}
         best = min(results, key=results.get)
