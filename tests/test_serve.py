@@ -919,9 +919,13 @@ def test_loadtest_tool_against_live_server(server_url):
     from twotowermlretrieval_tpu.tools.loadtest import run_load, summarize
 
     queries = ["t0w1 t0w2", "t1w3", "t2w1 t2w2 t2w3"]
-    lat, srv, errors, wall = run_load(server_url, queries, 12, 3, alpha=0.7)
-    summary = summarize(lat, srv, errors, wall, 3)
-    assert summary["errors"] == 0 and summary["requests"] == 12
-    assert summary["client_ms"]["p50"] <= summary["client_ms"]["p99"]
-    assert summary["server_took_ms"]["p50"] > 0
-    assert summary["throughput_rps"] > 0
+    for keep_alive in (False, True):
+        lat, srv, errors, wall = run_load(
+            server_url, queries, 12, 3, alpha=0.7, keep_alive=keep_alive
+        )
+        summary = summarize(lat, srv, errors, wall, 3)
+        assert summary["errors"] == 0 and summary["requests"] == 12, (
+            keep_alive, errors[:1])
+        assert summary["client_ms"]["p50"] <= summary["client_ms"]["p99"]
+        assert summary["server_took_ms"]["p50"] > 0
+        assert summary["throughput_rps"] > 0

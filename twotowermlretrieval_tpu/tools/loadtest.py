@@ -38,42 +38,84 @@ def run_load(
     alpha: float,
     timeout_s: float = 30.0,
     indices=None,
+    keep_alive: bool = False,
 ):
     """Fire ``num_requests`` searches from ``concurrency`` threads.
     ``indices`` (optional) maps request number -> query index, for skewed
-    workloads; default is round-robin over ``queries``.
+    workloads; default is round-robin over ``queries``. ``keep_alive``
+    reuses ONE HTTP/1.1 connection per worker (the UI's real pattern —
+    urllib opens a fresh TCP connection per request, which taxes every
+    sample with a handshake and never exercises the server's persistent-
+    connection path); a worker reconnects once if the server closed its
+    idle connection between requests.
     Returns (client_latencies_ms, server_took_ms, errors, wall_seconds)."""
+    import http.client
+    import urllib.parse
+
     lock = threading.Lock()
     latencies, server_ms, errors = [], [], []
     counter = {"next": 0}
+    parsed = urllib.parse.urlsplit(url if "//" in url else "//" + url)
 
     def worker():
-        while True:
-            with lock:
-                i = counter["next"]
-                if i >= num_requests:
-                    return
-                counter["next"] = i + 1
-            qi = indices[i] if indices is not None else i % len(queries)
-            body = json.dumps(
-                {"query": queries[qi], "alpha": alpha}
-            ).encode()
-            req = urllib.request.Request(
-                url.rstrip("/") + "/search", data=body,
-                headers={"Content-Type": "application/json"}, method="POST",
-            )
-            t0 = time.time()
-            try:
-                with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-                    payload = json.loads(resp.read())
-                ms = (time.time() - t0) * 1000
+        conn = None
+        try:
+            while True:
                 with lock:
-                    latencies.append(ms)
-                    if "took_ms" in payload:
-                        server_ms.append(float(payload["took_ms"]))
-            except Exception as e:  # noqa: BLE001 — a load test records failures
-                with lock:
-                    errors.append(f"{type(e).__name__}: {e}")
+                    i = counter["next"]
+                    if i >= num_requests:
+                        return
+                    counter["next"] = i + 1
+                qi = indices[i] if indices is not None else i % len(queries)
+                body = json.dumps(
+                    {"query": queries[qi], "alpha": alpha}
+                ).encode()
+                t0 = time.time()
+                try:
+                    if keep_alive:
+                        payload = None
+                        for attempt in (0, 1):  # one reconnect on a stale conn
+                            if conn is None:
+                                conn = http.client.HTTPConnection(
+                                    parsed.hostname, parsed.port, timeout=timeout_s
+                                )
+                            try:
+                                conn.request(
+                                    "POST", "/search", body=body,
+                                    headers={"Content-Type": "application/json"},
+                                )
+                                resp = conn.getresponse()
+                                payload = json.loads(resp.read())
+                                if resp.getheader("Connection") == "close":
+                                    conn.close()
+                                    conn = None
+                                break
+                            except (http.client.HTTPException, OSError):
+                                conn.close()
+                                conn = None
+                                if attempt:
+                                    raise
+                        if payload is None:
+                            continue
+                    else:
+                        req = urllib.request.Request(
+                            url.rstrip("/") + "/search", data=body,
+                            headers={"Content-Type": "application/json"},
+                            method="POST",
+                        )
+                        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                            payload = json.loads(resp.read())
+                    ms = (time.time() - t0) * 1000
+                    with lock:
+                        latencies.append(ms)
+                        if "took_ms" in payload:
+                            server_ms.append(float(payload["took_ms"]))
+                except Exception as e:  # noqa: BLE001 — a load test records failures
+                    with lock:
+                        errors.append(f"{type(e).__name__}: {e}")
+        finally:
+            if conn is not None:
+                conn.close()
 
     threads = [threading.Thread(target=worker) for _ in range(concurrency)]
     t_start = time.time()
@@ -122,6 +164,10 @@ def main():
                              "instead of round-robin — a realistic repeat-"
                              "heavy workload for measuring --cache-size "
                              "(try 1.1); 0 = round-robin")
+    parser.add_argument("--keep-alive", action="store_true",
+                        help="reuse one HTTP/1.1 connection per worker "
+                             "(the UI's real pattern) instead of a fresh "
+                             "TCP connection per request")
     args = parser.parse_args()
 
     if args.queries_file:
@@ -141,10 +187,11 @@ def main():
         indices = rng.choices(range(len(queries)), weights=weights,
                               k=args.requests)
     if args.warmup:
-        run_load(args.url, queries, args.warmup, 1, args.alpha)
+        run_load(args.url, queries, args.warmup, 1, args.alpha,
+                 keep_alive=args.keep_alive)
     latencies, server_ms, errors, wall = run_load(
         args.url, queries, args.requests, args.concurrency, args.alpha,
-        indices=indices,
+        indices=indices, keep_alive=args.keep_alive,
     )
     summary = summarize(latencies, server_ms, errors, wall, args.concurrency)
     print(json.dumps(summary, indent=2))
