@@ -166,6 +166,29 @@ def test_engine_response_contract(engine):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_engine_profile_window(artifacts_dir, tmp_path):
+    """--profile-dir captures a trace spanning exactly the first N live
+    searches: files appear after the Nth search, later searches don't
+    restart the profiler, and concurrent searches stop it exactly once."""
+    eng = SearchEngine(
+        artifacts_dir, storage_dtype="float32", use_pallas=False,
+        profile_dir=str(tmp_path / "trace"), profile_requests=3,
+    )
+    assert eng._profile is not None
+    threads = [
+        threading.Thread(target=eng.search, args=(f"t0w{i} profiled",))
+        for i in range(1, 5)  # 4 > N=3: the overflow must be harmless
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert eng._profile is None  # window closed
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert produced, "no trace files written"
+    eng.search("t0w1 after-window")  # no restart, no crash
+
+
 def test_engine_alpha_zero_pure_keyword(engine):
     out = engine.search("t3w1 t3w2", alpha=0.0)
     for r in out["results"]:

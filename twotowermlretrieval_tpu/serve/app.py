@@ -410,6 +410,12 @@ def main():
                              "costs one compile per variant (single-device "
                              "exact index only — a no-op, with a notice, "
                              "for mesh/ivf serving)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of the first "
+                             "--profile-requests live searches (after "
+                             "warmup) to this directory; view with "
+                             "TensorBoard/xprof")
+    parser.add_argument("--profile-requests", type=int, default=20)
     parser.add_argument("--cache-size", type=int, default=0,
                         help="LRU response cache entries (0 = off): repeat "
                              "(query, alpha) requests skip both device "
@@ -439,6 +445,8 @@ def main():
         warmup=args.warmup,
         cache_size=args.cache_size,
         autotune_retrieval=args.autotune_retrieval,
+        profile_dir=args.profile_dir,
+        profile_requests=args.profile_requests,
         mesh=build_serving_mesh(args.mesh_data, args.mesh_model),
     )
 

@@ -94,6 +94,8 @@ class SearchEngine:
         warmup: Optional[bool] = None,  # compile the search path up front
         cache_size: int = 0,  # >0 enables the LRU response cache
         autotune_retrieval: bool = False,  # measure kernel variants at boot
+        profile_dir: Optional[str] = None,  # trace the first N live searches
+        profile_requests: int = 20,
     ):
         loaded = load_artifacts(artifacts_path, require_index=True)
         self.config = loaded.config
@@ -166,6 +168,17 @@ class SearchEngine:
                     "dispatched on this path (mesh/ivf serving or XLA-only "
                     "backend); serving with the defaults"
                 )
+        # Serving-side profiler window (the training driver's --profile_dir
+        # twin): a jax.profiler trace spanning the first N LIVE searches —
+        # started lazily at the first request so warmup compiles don't
+        # drown the timeline, stopped after N. utils.profiling.trace is
+        # the underlying capture; view with TensorBoard/xprof.
+        self._profile = (
+            {"dir": profile_dir, "remaining": max(int(profile_requests), 1),
+             "started": False, "lock": threading.Lock()}
+            if profile_dir
+            else None
+        )
         warmup = warmup if warmup is not None else batch_window_ms > 0
         if warmup:
             for bucket in self._BATCH_BUCKETS:
@@ -224,6 +237,46 @@ class SearchEngine:
         """One query -> the reference's response payload
         ({query, alpha, results: [{rank, id, doc, score, dense_score,
         tfidf_score}]}, ref: frontend/main.py:203-210)."""
+        self._profile_enter()
+        try:
+            return self._search(query, alpha, top_k, fanout)
+        finally:
+            self._profile_exit()
+
+    def _profile_enter(self):
+        p = self._profile
+        if p is None:
+            return
+        with p["lock"]:
+            if not p["started"]:
+                import jax
+
+                jax.profiler.start_trace(p["dir"])
+                p["started"] = True
+                print(f"profiler: tracing the next {p['remaining']} "
+                      f"searches to {p['dir']}")
+
+    def _profile_exit(self):
+        p = self._profile
+        if p is None:
+            return
+        stop = False
+        with p["lock"]:
+            # in-flight threads may still hold a reference to p after
+            # self._profile was cleared; the flag makes the stop exact-once
+            if p["started"] and not p.get("stopped"):
+                p["remaining"] -= 1
+                if p["remaining"] <= 0:
+                    p["stopped"] = True
+                    stop = True
+                    self._profile = None
+        if stop:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"profiler: trace complete at {p['dir']}")
+
+    def _search(self, query, alpha, top_k, fanout) -> Dict:
         start = time.time()
         key = (query, alpha, top_k, fanout)
         results = None
