@@ -174,7 +174,7 @@ def test_engine_profile_window(artifacts_dir, tmp_path):
         artifacts_dir, storage_dtype="float32", use_pallas=False,
         profile_dir=str(tmp_path / "trace"), profile_requests=3,
     )
-    assert eng._profile is not None
+    assert eng._profile is not None and not eng._profile.done
     threads = [
         threading.Thread(target=eng.search, args=(f"t0w{i} profiled",))
         for i in range(1, 5)  # 4 > N=3: the overflow must be harmless
@@ -183,10 +183,51 @@ def test_engine_profile_window(artifacts_dir, tmp_path):
         t.start()
     for t in threads:
         t.join()
-    assert eng._profile is None  # window closed
+    assert eng._profile.done  # window closed
     produced = list((tmp_path / "trace").rglob("*"))
     assert produced, "no trace files written"
     eng.search("t0w1 after-window")  # no restart, no crash
+
+
+def test_engine_profile_cache_hits_do_not_consume_window(artifacts_dir, tmp_path):
+    """Cache hits do no device work: they must not burn trace slots, or
+    a repeat-heavy workload closes the window with one real search in
+    it. An unfilled window is finalized by close() (the CLI shutdown
+    hook), so the trace is still written."""
+    eng = SearchEngine(
+        artifacts_dir, storage_dtype="float32", use_pallas=False,
+        cache_size=8, profile_dir=str(tmp_path / "trace"),
+        profile_requests=2,
+    )
+    for _ in range(5):
+        eng.search("t0w1 repeated", alpha=0.5)  # 1 live + 4 cache hits
+    assert not eng._profile.done  # only ONE slot consumed
+    eng.close()  # shutdown finalizes the unfilled window
+    assert eng._profile.done
+    assert list((tmp_path / "trace").rglob("*")), "no trace files written"
+
+
+def test_engine_profile_failure_never_fails_searches(artifacts_dir, tmp_path):
+    """A broken profiler disables the window with a warning instead of
+    500-ing user searches (start_trace raising on every request was the
+    failure mode)."""
+    target = tmp_path / "occupied"
+    eng = SearchEngine(
+        artifacts_dir, storage_dtype="float32", use_pallas=False,
+        profile_dir=str(target), profile_requests=2,
+    )
+    import jax
+
+    jax.profiler.start_trace(str(tmp_path / "other"))  # occupy the profiler
+    try:
+        out = eng.search("t0w1 while-occupied", alpha=0.5)  # start fails
+        assert out["results"]  # ...but the search succeeds
+        assert eng._profile.done  # window disabled, not retried
+        out = eng.search("t0w2 again", alpha=0.5)
+        assert out["results"]
+    finally:
+        jax.profiler.stop_trace()
+    eng.close()  # harmless on a disabled window
 
 
 def test_engine_alpha_zero_pure_keyword(engine):

@@ -384,6 +384,13 @@ def serve(artifacts_path: str, port: int = 8888, host: str = "0.0.0.0", **engine
     return server
 
 
+def _positive_int(s: str) -> int:
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+    return v
+
+
 def main():
     parser = argparse.ArgumentParser(description="Two-tower hybrid search server")
     parser.add_argument("--artifacts", "-a", required=True)
@@ -415,7 +422,10 @@ def main():
                              "--profile-requests live searches (after "
                              "warmup) to this directory; view with "
                              "TensorBoard/xprof")
-    parser.add_argument("--profile-requests", type=int, default=20)
+    parser.add_argument("--profile-requests", type=_positive_int, default=20,
+                        help="live searches the --profile-dir trace spans "
+                             "(>= 1; an unfilled window is finalized at "
+                             "shutdown so the trace is still written)")
     parser.add_argument("--cache-size", type=int, default=0,
                         help="LRU response cache entries (0 = off): repeat "
                              "(query, alpha) requests skip both device "
@@ -470,6 +480,9 @@ def main():
     # blocking shutdown forever
     if not drain.wait_idle(_REQUEST_TIMEOUT_S + 30.0):
         print(f"warning: {drain.inflight} request(s) still in flight at exit")
+    # finalize engine end-of-life state (e.g. an unfilled profiler
+    # window, whose trace would otherwise be silently lost)
+    server.RequestHandlerClass.engine.close()
     server.server_close()
     print("server stopped")
 

@@ -20,6 +20,7 @@ uses it — frontend/main.py:69-70 vs 170-171). Same values, less host work.
 
 from __future__ import annotations
 
+import contextlib
 import threading
 import time
 from collections import OrderedDict
@@ -170,12 +171,15 @@ class SearchEngine:
                 )
         # Serving-side profiler window (the training driver's --profile_dir
         # twin): a jax.profiler trace spanning the first N LIVE searches —
-        # started lazily at the first request so warmup compiles don't
-        # drown the timeline, stopped after N. utils.profiling.trace is
-        # the underlying capture; view with TensorBoard/xprof.
+        # cache hits do no device work and do not consume the window.
+        # Lazy start keeps warmup compiles out of the timeline; close()
+        # (the CLI's shutdown path) finalizes an unfilled window so the
+        # trace is written even when fewer than N searches ever arrive.
+        from twotowermlretrieval_tpu.utils.profiling import TraceWindow
+
         self._profile = (
-            {"dir": profile_dir, "remaining": max(int(profile_requests), 1),
-             "started": False, "lock": threading.Lock()}
+            TraceWindow(profile_dir, int(profile_requests),
+                        what="live searches")
             if profile_dir
             else None
         )
@@ -183,6 +187,13 @@ class SearchEngine:
         if warmup:
             for bucket in self._BATCH_BUCKETS:
                 self._dense_batch([{"query": "warmup", "fanout": 50}] * bucket)
+
+    def close(self):
+        """End-of-life hook (the serving CLI's shutdown path): finalize
+        an unfilled profiler window — trace data is only written at
+        stop, so exiting mid-window would silently lose the capture."""
+        if self._profile is not None:
+            self._profile.close()
 
     def counters(self) -> Dict[str, int]:
         """Engine-level counters for the /metrics surface."""
@@ -237,46 +248,6 @@ class SearchEngine:
         """One query -> the reference's response payload
         ({query, alpha, results: [{rank, id, doc, score, dense_score,
         tfidf_score}]}, ref: frontend/main.py:203-210)."""
-        self._profile_enter()
-        try:
-            return self._search(query, alpha, top_k, fanout)
-        finally:
-            self._profile_exit()
-
-    def _profile_enter(self):
-        p = self._profile
-        if p is None:
-            return
-        with p["lock"]:
-            if not p["started"]:
-                import jax
-
-                jax.profiler.start_trace(p["dir"])
-                p["started"] = True
-                print(f"profiler: tracing the next {p['remaining']} "
-                      f"searches to {p['dir']}")
-
-    def _profile_exit(self):
-        p = self._profile
-        if p is None:
-            return
-        stop = False
-        with p["lock"]:
-            # in-flight threads may still hold a reference to p after
-            # self._profile was cleared; the flag makes the stop exact-once
-            if p["started"] and not p.get("stopped"):
-                p["remaining"] -= 1
-                if p["remaining"] <= 0:
-                    p["stopped"] = True
-                    stop = True
-                    self._profile = None
-        if stop:
-            import jax
-
-            jax.profiler.stop_trace()
-            print(f"profiler: trace complete at {p['dir']}")
-
-    def _search(self, query, alpha, top_k, fanout) -> Dict:
         start = time.time()
         key = (query, alpha, top_k, fanout)
         results = None
@@ -289,10 +260,18 @@ class SearchEngine:
             self._searches += 1
             self._cache_hits += results is not None
         if results is None:
-            if alpha == 0.0:
-                results = self._keyword_search(query, top_k)
-            else:
-                results = self._hybrid_search(query, alpha, top_k, fanout)
+            # only LIVE searches count against the profiler window —
+            # a cache hit does no device work worth a trace slot
+            ctx = (
+                self._profile.event()
+                if self._profile is not None
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                if alpha == 0.0:
+                    results = self._keyword_search(query, top_k)
+                else:
+                    results = self._hybrid_search(query, alpha, top_k, fanout)
             if self._cache is not None:
                 with self._cache_lock:
                     self._cache[key] = results

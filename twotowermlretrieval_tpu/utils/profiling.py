@@ -39,6 +39,79 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class TraceWindow:
+    """A jax.profiler trace spanning the first ``n`` traced events.
+
+    Lazy start — the first ``event()`` begins the capture, so startup /
+    warmup compiles stay out of the timeline — and an exact-once stop
+    after the n-th event completes. ``close()`` finalizes an UNFILLED
+    window (trace data is only written at stop; the training driver
+    finalizes the same way when the run ends inside its capture window).
+    Thread-safe. Profiler failures DISABLE the window with one warning
+    instead of propagating: a profiling flag must never fail the
+    workload it observes.
+    """
+
+    def __init__(self, log_dir: str, n: int, what: str = "events"):
+        if n < 1:
+            raise ValueError(f"trace window needs n >= 1, got {n}")
+        import threading
+
+        self._dir = log_dir
+        self._remaining = n
+        self._what = what
+        self._lock = threading.Lock()
+        self._started = False
+        self._finished = False  # stopped OR disabled by a profiler error
+
+    @property
+    def done(self) -> bool:
+        return self._finished
+
+    @contextlib.contextmanager
+    def event(self):
+        """Context manager around one traced event; a no-op once done."""
+        with self._lock:
+            if not self._finished and not self._started:
+                try:
+                    jax.profiler.start_trace(self._dir)
+                    self._started = True
+                    print(f"profiler: tracing the next {self._remaining} "
+                          f"{self._what} to {self._dir}", flush=True)
+                except Exception as e:  # noqa: BLE001 — never fail the workload
+                    self._finished = True
+                    print(f"profiler: disabled — start_trace failed "
+                          f"({type(e).__name__}: {e})", flush=True)
+        try:
+            yield
+        finally:
+            stop = False
+            with self._lock:
+                if self._started and not self._finished:
+                    self._remaining -= 1
+                    if self._remaining <= 0:
+                        self._finished = True
+                        stop = True
+            if stop:
+                self._finalize()
+
+    def close(self):
+        """Finalize an unfilled window (shutdown path)."""
+        with self._lock:
+            if not self._started or self._finished:
+                return
+            self._finished = True
+        self._finalize()
+
+    def _finalize(self):
+        try:
+            jax.profiler.stop_trace()
+            print(f"profiler: trace written to {self._dir}", flush=True)
+        except Exception as e:  # noqa: BLE001 — never fail the workload
+            print(f"profiler: stop_trace failed ({type(e).__name__}: {e})",
+                  flush=True)
+
+
 class StepTimer:
     """Host-side dispatch/blocked timing for an async-dispatch step fn."""
 
