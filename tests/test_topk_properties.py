@@ -164,3 +164,43 @@ def test_k_beyond_n_valid_pads_with_sentinels(shape):
     np.testing.assert_allclose(
         vals[:, :n_valid], np.asarray(o_vals), rtol=2e-5, atol=1e-6
     )
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(
+    st.tuples(
+        st.integers(0, 2**31 - 1),
+        st.integers(1, 6),  # B
+        st.integers(150, 900),  # N
+        st.sampled_from([8, 16]),  # H
+    ),
+    st.integers(1, 30),  # k
+    st.sampled_from(["float32", "bfloat16", "int8"]),
+)
+def test_retrieval_index_matches_oracle_everywhere(shape, k, dtype):
+    """The serving surface end to end: RetrievalIndex.search over any
+    (storage dtype, ragged N, B, k) returns the exact oracle ids for f32
+    and >= 0.9 recall for the lossy storages (bf16 rounding / int8
+    quantization can legitimately reorder near-ties)."""
+    from twotowermlretrieval_tpu.serve.index import RetrievalIndex
+
+    seed, B, N, H = shape
+    q, d = _make(seed, B, N, H)
+    k = min(k, N)
+    index = RetrievalIndex(d, storage_dtype=dtype, use_pallas=False)
+    vals, ids = index.search(q, k=k)
+    assert vals.shape == (B, k) and ids.shape == (B, k)
+    assert (ids >= 0).all() and (ids < N).all()
+    assert (np.diff(vals, axis=1) <= 1e-6).all()  # sorted descending
+    o_vals, o_ids = topk_oracle(jnp.asarray(q), jnp.asarray(d), k)
+    o_ids = np.asarray(o_ids)
+    if dtype == "float32":
+        np.testing.assert_array_equal(ids, o_ids)
+        np.testing.assert_allclose(
+            vals, np.asarray(o_vals), rtol=2e-5, atol=1e-6
+        )
+    else:
+        recall = np.mean(
+            [len(set(ids[b]) & set(o_ids[b])) / k for b in range(B)]
+        )
+        assert recall >= 0.9, (dtype, recall)
