@@ -65,6 +65,8 @@ _KEY_TO_FIELD = {
     "CROSS_DEVICE_NEGATIVES": "cross_device_negatives",
     "NUM_HEADS": "num_heads",
     "FFN_DIM": "ffn_dim",
+    "REMAT_BLOCKS": "remat_blocks",
+    "RESIDUAL_DTYPE": "residual_dtype",
     "CHECKPOINT_EVERY_STEPS": "checkpoint_every_steps",
     "LOG_EVERY_STEPS": "log_every_steps",
     "STEPS_PER_DISPATCH": "steps_per_dispatch",
@@ -127,6 +129,16 @@ class Config:
     cross_device_negatives: bool = True  # all_gather docs across 'data' axis
     num_heads: int = 4  # transformer tower
     ffn_dim: int = 1024  # transformer tower
+    # Rematerialize each transformer block in the backward pass
+    # (jax.checkpoint): trades ~1/3 more matmul FLOPs for not storing the
+    # per-block intermediates — a large HBM-traffic win for the
+    # memory-bound config-5 step (measured in docs/RESULTS.md) and the
+    # standard way to fit bigger batches.
+    remat_blocks: bool = False
+    # Residual-stream dtype for the transformer tower: 'float32' (default)
+    # or 'bfloat16'. bf16 halves the HBM traffic of every elementwise op
+    # and saved residual; layer-norm statistics stay in f32 either way.
+    residual_dtype: str = "float32"
     checkpoint_every_steps: int = 500
     # Train steps executed per jitted dispatch (lax.scan over a [K, B, W]
     # packed-batch stack). On remote-attached TPUs each dispatch/transfer is
@@ -170,6 +182,10 @@ class Config:
             # inverted-scale dropout divides by (1 - p): p == 1.0 would be
             # 0/0 NaNs on every step, so reject it at config time
             raise ValueError(f"DROPOUT must be in [0, 1), got {self.dropout}")
+        if self.residual_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"RESIDUAL_DTYPE must be float32|bfloat16, got {self.residual_dtype}"
+            )
 
     # --- JSON round-trip, reference key names -------------------------
     @classmethod

@@ -44,6 +44,16 @@ class TransformerSpec:
     # two collectives per block, everything else local.
     model_axis: Optional[str] = None
     model_axis_size: int = 1
+    # Rematerialize each block under jax.checkpoint: the config-5 step is
+    # HBM-bound on saved intermediates (docs/RESULTS.md ablation), so
+    # recomputing the block forward inside the backward trades cheap MXU
+    # FLOPs for the dominant store/reload traffic — and caps activation
+    # memory at O(layers) residuals instead of O(layers) full blocks.
+    remat_blocks: bool = False
+    # Residual-stream dtype: 'float32' (default, exact parity with the
+    # round-2 numerics) or 'bfloat16' (halves elementwise/residual HBM
+    # traffic; layer-norm statistics are always computed in f32).
+    residual_dtype: str = "float32"
 
     def __post_init__(self):
         if self.hidden_dim % self.num_heads != 0:
@@ -81,6 +91,8 @@ class TransformerSpec:
             embedding_axis="model" if config.shard_embedding_table else None,
             model_axis="model" if tp else None,
             model_axis_size=config.mesh_model if tp else 1,
+            remat_blocks=getattr(config, "remat_blocks", False),
+            residual_dtype=getattr(config, "residual_dtype", "float32"),
         )
 
 
@@ -177,10 +189,15 @@ def init_transformer_encoder(
     return params
 
 
-def _layer_norm(x, p, eps=1e-6):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+def _layer_norm(x, p, eps=1e-6, out_dtype=None):
+    """Layer norm with f32 statistics regardless of the stream dtype; the
+    result is cast to ``out_dtype`` (default: x.dtype) so a bf16 residual
+    stream stays bf16 without giving up f32 mean/variance."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return out.astype(out_dtype or x.dtype)
 
 
 def _dense(x, p, cdt):
@@ -237,10 +254,11 @@ def transformer_encode(
     def psum_if_tp(v):
         return _reduce_from_tp(v, spec.model_axis) if tp else v
 
-    rng = dropout_rng
-    for block in params["blocks"]:
+    rdt = jnp.dtype(spec.residual_dtype)
+
+    def run_block(x, rng, block, attn_bias):
         # --- attention sublayer (pre-LN) ---
-        y = _layer_norm(x, block["ln1"])
+        y = _layer_norm(x, block["ln1"], out_dtype=rdt)
         if tp:
             y = _copy_to_tp(y, spec.model_axis)
         w_qkv = block["qkv"]["w"]  # [H, 3, H_local]
@@ -281,21 +299,33 @@ def transformer_encode(
                           precision=matmul_precision(cdt))
         attn = psum_if_tp(attn) + block["attn_out"]["b"]
         attn, rng = maybe_dropout(attn, rng)
-        x = x + attn
+        x = x + attn.astype(rdt)
         # --- FFN sublayer ---
-        y = _layer_norm(x, block["ln2"])
+        y = _layer_norm(x, block["ln2"], out_dtype=rdt)
         if tp:
             y = _copy_to_tp(y, spec.model_axis)
-        h = jax.nn.gelu(_dense(y, block["ffn_in"], cdt))  # [B, T, F_local]
+        h = jax.nn.gelu(_dense(y, block["ffn_in"], cdt).astype(rdt))  # [B, T, F_local]
         y = jnp.einsum("btf,fh->bth", h.astype(cdt),
                        block["ffn_out"]["w"].astype(cdt),
                        preferred_element_type=jnp.float32,
                        precision=matmul_precision(cdt))
         y = psum_if_tp(y) + block["ffn_out"]["b"]
         y, rng = maybe_dropout(y, rng)
-        x = x + y
+        x = x + y.astype(rdt)
+        return x, rng
 
-    x = _layer_norm(x, params["ln_final"])
+    if spec.remat_blocks:
+        # attn_bias is an explicit arg (not a closure) so the checkpoint
+        # boundary saves exactly (x, rng, bias) per block and recomputes
+        # everything else in the backward pass
+        run_block = jax.checkpoint(run_block)
+
+    rng = dropout_rng
+    x = x.astype(rdt)
+    for block in params["blocks"]:
+        x, rng = run_block(x, rng, block, attn_bias)
+
+    x = _layer_norm(x, params["ln_final"], out_dtype=jnp.float32)
     # Masked mean-pool; zero-length rows -> zero vector (empty-query guard,
     # ref: query_inferencer.py:65-69).
     denom = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1.0)
