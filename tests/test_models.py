@@ -431,3 +431,73 @@ def test_transformer_legacy_qkv_layout_still_loads():
     new = transformer_encode(params, tokens, lengths, spec)
     old = transformer_encode(legacy, tokens, lengths, spec)
     np.testing.assert_array_equal(np.asarray(new), np.asarray(old))
+
+
+def test_transformer_remat_matches_no_remat():
+    """remat_blocks must be a pure scheduling change: encode outputs and
+    gradients — including the dropout rng threading through the
+    jax.checkpoint boundary — are identical with it on and off (ADVICE r3)."""
+    import dataclasses
+
+    from twotowermlretrieval_tpu.models.transformer import (
+        TransformerSpec,
+        init_transformer_encoder,
+        transformer_encode,
+    )
+
+    spec = TransformerSpec(
+        vocab_size=50, embed_dim=8, hidden_dim=16, num_layers=2, num_heads=2,
+        ffn_dim=32, compute_dtype="float32", max_len=16, dropout=0.3,
+    )
+    spec_remat = dataclasses.replace(spec, remat_blocks=True)
+    params = init_transformer_encoder(jax.random.key(0), spec)
+    tokens, lengths = _batch(np.random.default_rng(7))
+    drop_key = jax.random.key(5)
+    ct = jnp.cos(jnp.arange(4.0 * 16).reshape(4, 16))
+
+    def loss(p, s):
+        out = transformer_encode(
+            p, tokens, lengths, s, train=True, dropout_rng=drop_key
+        )
+        return jnp.sum(out * ct)
+
+    l0, g0 = jax.value_and_grad(loss)(params, spec)
+    l1, g1 = jax.value_and_grad(loss)(params, spec_remat)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_transformer_bf16_residual_tracks_f32():
+    """residual_dtype='bfloat16' halves residual-stream traffic but must
+    stay a numerics knob, not a correctness one: unit-norm outputs within
+    bf16 tolerance of the f32-residual run, and gelu still computed at
+    compute precision (not downgraded by the residual cast — ADVICE r3)."""
+    import dataclasses
+
+    from twotowermlretrieval_tpu.models.transformer import (
+        TransformerSpec,
+        init_transformer_encoder,
+        transformer_encode,
+    )
+
+    spec = TransformerSpec(
+        vocab_size=50, embed_dim=8, hidden_dim=16, num_layers=2, num_heads=2,
+        ffn_dim=32, compute_dtype="float32", max_len=16,
+    )
+    spec_bf = dataclasses.replace(spec, residual_dtype="bfloat16")
+    params = init_transformer_encoder(jax.random.key(1), spec)
+    tokens, lengths = _batch(np.random.default_rng(9))
+    ref = np.asarray(transformer_encode(params, tokens, lengths, spec))
+    out = np.asarray(transformer_encode(params, tokens, lengths, spec_bf))
+    assert out.dtype == np.float32  # final LN casts the stream back up
+    valid = lengths[:, None] > 0
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=1), np.where(lengths > 0, 1.0, 0.0), atol=1e-5
+    )
+    # bf16 has ~3 significant decimal digits; a 2-block stream stays well
+    # inside 3e-2 of the f32 run unless precision is being dropped twice
+    np.testing.assert_allclose(out, ref, atol=3e-2)
+    assert np.abs(out - ref)[np.broadcast_to(valid, out.shape)].max() > 0  # it IS a different dtype path

@@ -55,8 +55,11 @@ def _launch_pair(corpus_dir, out, extra_args=()):
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PYTEST_CURRENT_TEST", None)
     # the runner is launched by path, so its sys.path[0] is tests/ — make
-    # the package importable without requiring a pip install of the repo
-    env["PYTHONPATH"] = str(ROOT) + os.pathsep + env.get("PYTHONPATH", "")
+    # the package importable without requiring a pip install of the repo.
+    # Only append the existing value when non-empty: a trailing separator
+    # would add an empty entry, which Python resolves to the CWD.
+    existing = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = str(ROOT) + (os.pathsep + existing if existing else "")
     # stdout goes to FILES, not pipes: the parent waits on the processes
     # sequentially while both run one SPMD program — if process 1 filled a
     # ~64 KB stdout pipe mid-collective while the parent still blocked on

@@ -496,6 +496,64 @@ def test_transformer_tp_matches_replicated():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_transformer_tp_remat_grads_match_replicated():
+    """jax.checkpoint around blocks that contain the TP custom-VJP
+    collectives (_copy_to_tp / _reduce_from_tp): loss and ALL gradients
+    under shard_map must match the replicated no-remat run — in particular
+    the replicated-leaf grads (layer norms, embeddings) must come out
+    identical on every shard, which is exactly what the conjugate psum
+    pair guarantees and what remat re-executes in the backward (ADVICE r3)."""
+    import dataclasses
+
+    from twotowermlretrieval_tpu.models.transformer import (
+        TransformerSpec,
+        init_transformer_encoder,
+        transformer_encode,
+    )
+    from twotowermlretrieval_tpu.parallel.distributed import transformer_tp_spec
+
+    spec_rep = TransformerSpec(
+        vocab_size=64, embed_dim=16, hidden_dim=32, num_layers=2, num_heads=8,
+        ffn_dim=64, compute_dtype="float32", max_len=8,
+    )
+    spec_tp = dataclasses.replace(
+        spec_rep, model_axis="model", model_axis_size=8, remat_blocks=True
+    )
+    params = init_transformer_encoder(jax.random.key(2), spec_rep)
+    rng = np.random.default_rng(21)
+    tokens = jnp.asarray(rng.integers(1, 64, (4, 8)).astype(np.int32))
+    lengths = jnp.asarray([8, 5, 1, 0], jnp.int32)
+    ct = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+
+    def loss(p, spec):
+        return jnp.sum(transformer_encode(p, tokens, lengths, spec) * ct)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss)(params, spec_rep)
+
+    mesh = make_mesh(data=1, model=8)
+    param_specs = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: transformer_tp_spec(
+            {p.key for p in path if isinstance(p, jax.tree_util.DictKey)}, leaf
+        ) or P(),
+        params,
+    )
+    mapped = jax.shard_map(
+        lambda p: jax.value_and_grad(loss)(p, spec_tp),
+        mesh=mesh,
+        in_specs=(param_specs,),
+        # out_specs P() on the loss and on replicated-leaf grads asserts
+        # cross-shard identity; sharded-leaf grads reassemble to full arrays
+        out_specs=(P(), param_specs),
+        check_vma=False,
+    )
+    tp_loss, tp_grads = mapped(params)
+    assert float(tp_loss) == pytest.approx(float(ref_loss), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(tp_grads)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_transformer_tp_training_matches_single_device():
     """Full distributed train step with a TP-sharded transformer tower
     (mesh 4x2) matches the single-device step's loss."""

@@ -131,9 +131,8 @@ class Config:
     ffn_dim: int = 1024  # transformer tower
     # Rematerialize each transformer block in the backward pass
     # (jax.checkpoint): trades ~1/3 more matmul FLOPs for not storing the
-    # per-block intermediates — a large HBM-traffic win for the
-    # memory-bound config-5 step (measured in docs/RESULTS.md) and the
-    # standard way to fit bigger batches.
+    # per-block intermediates — caps activation memory at O(layers)
+    # residuals, the standard way to fit bigger batches.
     remat_blocks: bool = False
     # Residual-stream dtype for the transformer tower: 'float32' (default)
     # or 'bfloat16'. bf16 halves the HBM traffic of every elementwise op

@@ -44,11 +44,10 @@ class TransformerSpec:
     # two collectives per block, everything else local.
     model_axis: Optional[str] = None
     model_axis_size: int = 1
-    # Rematerialize each block under jax.checkpoint: the config-5 step is
-    # HBM-bound on saved intermediates (docs/RESULTS.md ablation), so
-    # recomputing the block forward inside the backward trades cheap MXU
-    # FLOPs for the dominant store/reload traffic — and caps activation
-    # memory at O(layers) residuals instead of O(layers) full blocks.
+    # Rematerialize each block under jax.checkpoint: recomputing the block
+    # forward inside the backward trades cheap MXU FLOPs for the saved
+    # intermediates' store/reload traffic and caps activation memory at
+    # O(layers) residuals instead of O(layers) full blocks.
     remat_blocks: bool = False
     # Residual-stream dtype: 'float32' (default, exact parity with the
     # round-2 numerics) or 'bfloat16' (halves elementwise/residual HBM
@@ -304,7 +303,10 @@ def transformer_encode(
         y = _layer_norm(x, block["ln2"], out_dtype=rdt)
         if tp:
             y = _copy_to_tp(y, spec.model_axis)
-        h = jax.nn.gelu(_dense(y, block["ffn_in"], cdt).astype(rdt))  # [B, T, F_local]
+        # gelu runs on the f32 matmul output BEFORE the residual-dtype cast:
+        # residual_dtype='bfloat16' must not downgrade activation precision
+        # below compute_dtype (ADVICE r3)
+        h = jax.nn.gelu(_dense(y, block["ffn_in"], cdt)).astype(rdt)  # [B, T, F_local]
         y = jnp.einsum("btf,fh->bth", h.astype(cdt),
                        block["ffn_out"]["w"].astype(cdt),
                        preferred_element_type=jnp.float32,
