@@ -501,3 +501,88 @@ def test_transformer_bf16_residual_tracks_f32():
     # inside 3e-2 of the f32 run unless precision is being dropped twice
     np.testing.assert_allclose(out, ref, atol=3e-2)
     assert np.abs(out - ref)[np.broadcast_to(valid, out.shape)].max() > 0  # it IS a different dtype path
+
+
+# ---------------------------------------------------------------------------
+# fused attention kernel (ops/attention.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_attention_matches_xla_fwd_and_grads():
+    """The VMEM-resident attention kernel must match the XLA einsum path
+    bit-for-tolerance in forward AND all three gradients, including fully
+    masked (length 0) rows."""
+    from twotowermlretrieval_tpu.ops.attention import fused_attention
+
+    rng = np.random.default_rng(3)
+    R, T, hd = 8, 16, 8
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((R, T, hd)).astype(np.float32))
+        for _ in range(3)
+    )
+    lens = np.array([16, 9, 1, 0, 5, 16, 2, 7])
+    bias = jnp.asarray(
+        np.where(np.arange(T)[None, :] < lens[:, None], 0.0, -1e9).astype(np.float32)
+    )
+    scale = float(1.0 / np.sqrt(hd))
+
+    def ref(q, k, v):
+        s = jnp.einsum("rqd,rkd->rqk", q, k) * scale + bias[:, None, :]
+        return jnp.einsum("rqk,rkd->rqd", jax.nn.softmax(s, axis=-1), v)
+
+    def fused(q, k, v):
+        return fused_attention(q, k, v, bias, scale, "float32", True)
+
+    np.testing.assert_allclose(
+        np.asarray(fused(q, k, v)), np.asarray(ref(q, k, v)),
+        rtol=1e-5, atol=1e-6,
+    )
+    ct = jnp.asarray(rng.standard_normal((R, T, hd)).astype(np.float32))
+    g1 = jax.grad(lambda *a: jnp.sum(fused(*a) * ct), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(ref(*a) * ct), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_transformer_fused_attention_matches_xla_path():
+    """transformer_encode with spec.fused_attention=True equals the XLA
+    einsum path — outputs and grads (kernel run in interpret mode on
+    CPU via a temporarily patched VJP)."""
+    import dataclasses
+
+    from twotowermlretrieval_tpu.models.transformer import (
+        TransformerSpec,
+        init_transformer_encoder,
+        transformer_encode,
+    )
+    from twotowermlretrieval_tpu.ops import attention as attn_mod
+
+    spec = TransformerSpec(
+        vocab_size=50, embed_dim=8, hidden_dim=16, num_layers=2, num_heads=2,
+        ffn_dim=32, compute_dtype="float32", max_len=16,
+    )
+    spec_fused = dataclasses.replace(spec, fused_attention=True)
+    params = init_transformer_encoder(jax.random.key(4), spec)
+    tokens, lengths = _batch(np.random.default_rng(21))
+    ct = jnp.asarray(
+        np.random.default_rng(22).standard_normal((4, 16)).astype(np.float32)
+    )
+
+    # CPU runs the kernel in interpret mode
+    orig_fwd = attn_mod._fused_attention_fwd
+    orig_bwd = attn_mod._fused_attention_bwd
+    attn_mod.fused_attention.defvjp(
+        lambda q, k, v, b, s, c, i: orig_fwd(q, k, v, b, s, c, True),
+        lambda s, c, i, res, do: orig_bwd(s, c, True, res, do),
+    )
+    try:
+        def loss(p, sp):
+            return jnp.sum(transformer_encode(p, tokens, lengths, sp) * ct)
+
+        l_ref, g_ref = jax.value_and_grad(loss)(params, spec)
+        l_fused, g_fused = jax.value_and_grad(loss)(params, spec_fused)
+    finally:
+        attn_mod.fused_attention.defvjp(orig_fwd, orig_bwd)
+    assert float(l_ref) == pytest.approx(float(l_fused), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

@@ -588,17 +588,20 @@ def test_micro_batch_bucketing_pads_request_count(artifacts_dir):
 
     engine = SearchEngine(artifacts_dir, use_pallas=False, warmup=False)
     seen = []
-    orig = engine.inferencer.get_query_embeddings
+    orig = engine.inferencer.tokenizer.encode_batch
 
-    def spy(queries):
+    def spy(queries, max_len):
         seen.append(len(queries))
-        return orig(queries)
+        return orig(queries, max_len)
 
-    engine.inferencer.get_query_embeddings = spy
+    engine.inferencer.tokenizer.encode_batch = spy
     reqs = [{"query": f"t{i}w1", "fanout": 10} for i in range(5)]
     results = engine._dense_batch(reqs)
     assert len(results) == 5
-    assert seen == [8]  # 5 requests -> 8-wide bucket
+    # 5 requests -> 8-wide bucket -> 16 fused-encode rows (the fused
+    # single-dispatch path floors encode rows at 16 so buckets 1/8/16
+    # share one executable per fanout)
+    assert seen == [16]
 
 
 def test_hybrid_search_drops_ivf_padding_ids(artifacts_dir, tmp_path):
@@ -653,19 +656,21 @@ def test_micro_batch_burst_splits_into_buckets(artifacts_dir):
 
     engine = SearchEngine(artifacts_dir, use_pallas=False, warmup=False)
     seen = []
-    orig = engine.inferencer.get_query_embeddings
+    orig = engine.inferencer.tokenizer.encode_batch
 
-    def spy(queries):
+    def spy(queries, max_len):
         seen.append(len(queries))
-        return orig(queries)
+        return orig(queries, max_len)
 
-    engine.inferencer.get_query_embeddings = spy
+    engine.inferencer.tokenizer.encode_batch = spy
     reqs = [{"query": f"t{i % 4}w1", "fanout": 10} for i in range(70)]
     results = engine._dense_batch(reqs)
     assert len(results) == 70
     cap = SearchEngine._BATCH_BUCKETS[-1]
-    assert seen == [cap, cap, 8]  # 70 = 32 + 32 + 6 -> 8-wide bucket
-    assert set(seen) <= set(SearchEngine._BATCH_BUCKETS)
+    # 70 = 32 + 32 + 6; the 6-request tail rides the 8-bucket, which the
+    # fused path floors to 16 encode rows
+    assert seen == [cap, cap, 16]
+    assert set(seen) <= {max(b, 16) for b in SearchEngine._BATCH_BUCKETS}
     # split sub-batches return the same results as a serial search
     serial_scores, serial_ids = engine.index.search(
         engine.inferencer.get_query_embeddings([reqs[0]["query"]]), k=10
@@ -993,3 +998,146 @@ def test_loadtest_tool_against_live_server(server_url):
         assert summary["client_ms"]["p50"] <= summary["client_ms"]["p99"]
         assert summary["server_took_ms"]["p50"] > 0
         assert summary["throughput_rps"] > 0
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(storage_dtype="float32"),
+    dict(storage_dtype="int8"),
+    dict(index_type="ivf", nprobe=8),
+])
+def test_fused_single_dispatch_matches_two_call(artifacts_dir, kwargs):
+    """The fused encode+search executable (VERDICT r3 #1) must return
+    exactly what the two-call path (host-embedding handoff) returns, and
+    the engine must never fall back to the two-call pieces on the
+    single-device path: one device dispatch + one host fetch per batch."""
+    from twotowermlretrieval_tpu.serve.engine import SearchEngine
+
+    engine = SearchEngine(artifacts_dir, use_pallas=False, warmup=False, **kwargs)
+    assert engine._corpus_args is not None
+
+    queries = ["t0w1 t0w2", "t1w3", "zzz-oov-only"]
+    # two-call reference: embed to host numpy, then search
+    embs = engine.inferencer.get_query_embeddings(queries)
+    ref_scores, ref_ids = engine.index.search(embs, k=10)
+
+    # the fused path must not touch the two-call pieces
+    def boom(*a, **k):
+        raise AssertionError("fused path fell back to the two-call path")
+
+    engine.inferencer.get_query_embeddings = boom
+    engine.index.search = boom
+    results = engine._dense_batch(
+        [{"query": q, "fanout": 10} for q in queries]
+    )
+    for i, (scores, ids) in enumerate(results):
+        np.testing.assert_allclose(scores, ref_scores[i], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(ids, ref_ids[i])
+
+    # full hybrid search also rides the fused path
+    out = engine.search("t0w1 t0w2", alpha=0.7, top_k=5)
+    assert len(out["results"]) == 5
+    assert out["results"][0]["dense_score"] > 0
+
+
+def test_fused_path_disabled_on_mesh(artifacts_dir):
+    """Mesh-sharded serving keeps the two-call structure (its searches are
+    pre-compiled shard_map programs); traced_args() must say so."""
+    import jax as _jax
+
+    from twotowermlretrieval_tpu.parallel.mesh import resolve_mesh
+    from twotowermlretrieval_tpu.serve.engine import SearchEngine
+
+    mesh = resolve_mesh(len(_jax.devices()), 1)
+    engine = SearchEngine(artifacts_dir, mesh=mesh, warmup=False)
+    assert engine._corpus_args is None
+    out = engine.search("t0w1 t0w2", alpha=0.7, top_k=5)
+    assert len(out["results"]) == 5
+
+
+# ---------------------------------------------------------------------------
+# persisted autotune decision (retrieval_tuning.json)
+# ---------------------------------------------------------------------------
+
+
+def test_autotune_decision_persisted_and_applied(artifacts_dir, tmp_path, monkeypatch):
+    """--autotune-retrieval writes its winner into the artifact dir; the
+    next boot applies it with ZERO timing chains (VERDICT r3 #6)."""
+    import shutil
+
+    from twotowermlretrieval_tpu.serve import index as index_mod
+
+    art = tmp_path / "art_tuned"
+    shutil.copytree(artifacts_dir, art)
+    eng = SearchEngine(art, storage_dtype="int8", use_pallas=True,
+                       interpret=True, warmup=False, autotune_retrieval=True)
+    f = art / index_mod.RETRIEVAL_TUNING_FILE
+    assert f.exists()
+    rec = json.loads(f.read_text())
+    assert rec["decision_signature"] == eng.index.tuning_signature()
+    assert rec["decision"] == eng.index.decision()
+    assert rec["timings_ms"]
+
+    # second boot: no flag -> persisted decision applied, and any timing
+    # chain is a bug
+    def boom(*a, **k):
+        raise AssertionError("serve restart ran a timing chain")
+
+    monkeypatch.setattr(index_mod.RetrievalIndex, "_time_variant", boom)
+    eng2 = SearchEngine(art, storage_dtype="int8", interpret=True, warmup=False)
+    assert eng2.index.decision() == rec["decision"]
+    out = eng2.search("t0w1 t0w2", alpha=0.7, top_k=5)
+    assert len(out["results"]) == 5
+
+
+def test_stale_tuning_record_is_ignored(artifacts_dir, tmp_path):
+    """A tuning record measured for a different corpus shape/backend must
+    not be applied (stale-shape invalidation)."""
+    import shutil
+
+    from twotowermlretrieval_tpu.serve import index as index_mod
+
+    art = tmp_path / "art_stale"
+    shutil.copytree(artifacts_dir, art)
+    (art / index_mod.RETRIEVAL_TUNING_FILE).write_text(json.dumps({
+        "decision_signature": {"num_docs": 999999, "dim": 4,
+                               "storage_dtype": "int8", "index_type": "exact",
+                               "backend": "tpu"},
+        "decision": {"phase2": "gather", "sort_candidates": True,
+                     "use_pallas": True},
+    }))
+    eng = SearchEngine(art, storage_dtype="int8", interpret=True, warmup=False)
+    # defaults, not the stale record's gather+sorted
+    assert eng.index.decision()["phase2"] == "rescore"
+    assert eng.index.decision()["sort_candidates"] is False
+
+
+def test_persisted_nprobe_used_by_default(artifacts_dir, tmp_path):
+    """ttr-build-index --target-recall persists nprobe; the engine defaults
+    to it (explicit nprobe still wins)."""
+    import shutil
+
+    import numpy as np
+
+    from twotowermlretrieval_tpu.serve import index as index_mod
+
+    art = tmp_path / "art_nprobe"
+    shutil.copytree(artifacts_dir, art)
+    emb = np.load(art / "document_embeddings.npy")
+    index_mod.save_retrieval_tuning(art, {
+        "nprobe": 7,
+        "nprobe_signature": {"num_docs": int(emb.shape[0]),
+                             "dim": int(emb.shape[1])},
+    })
+    eng = SearchEngine(art, use_pallas=False, warmup=False,
+                       index_type="ivf", nprobe=None)
+    assert eng.index.nprobe == 7
+    eng2 = SearchEngine(art, use_pallas=False, warmup=False,
+                        index_type="ivf", nprobe=3)
+    assert eng2.index.nprobe == 3
+    # stale shape -> falls back to the default 16
+    index_mod.save_retrieval_tuning(art, {
+        "nprobe_signature": {"num_docs": 1, "dim": 1},
+    })
+    eng3 = SearchEngine(art, use_pallas=False, warmup=False,
+                        index_type="ivf")
+    assert eng3.index.nprobe == 16

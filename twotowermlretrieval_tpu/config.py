@@ -67,6 +67,7 @@ _KEY_TO_FIELD = {
     "FFN_DIM": "ffn_dim",
     "REMAT_BLOCKS": "remat_blocks",
     "RESIDUAL_DTYPE": "residual_dtype",
+    "FUSED_ATTENTION": "fused_attention",
     "CHECKPOINT_EVERY_STEPS": "checkpoint_every_steps",
     "LOG_EVERY_STEPS": "log_every_steps",
     "STEPS_PER_DISPATCH": "steps_per_dispatch",
@@ -138,6 +139,10 @@ class Config:
     # or 'bfloat16'. bf16 halves the HBM traffic of every elementwise op
     # and saved residual; layer-norm statistics stay in f32 either way.
     residual_dtype: str = "float32"
+    # Fused VMEM-resident attention kernel for the transformer tower
+    # (ops/attention.py). Tri-state: None = auto (on for TPU at encoder
+    # sequence lengths), True/False force the Pallas / XLA path.
+    fused_attention: Optional[bool] = None
     checkpoint_every_steps: int = 500
     # Train steps executed per jitted dispatch (lax.scan over a [K, B, W]
     # packed-batch stack). On remote-attached TPUs each dispatch/transfer is

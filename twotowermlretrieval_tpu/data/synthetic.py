@@ -39,8 +39,15 @@ def generate_corpus(
     passages_per_query: int = 4,
     embed_dim: int = 32,
     seed: int = 0,
+    query_len_range: Tuple[int, int] = (3, 8),
+    passage_len_range: Tuple[int, int] = (8, 20),
 ) -> Dict[str, Path]:
     """Write synthetic train/validation/test parquet + embedding artifacts.
+
+    ``query_len_range``/``passage_len_range`` shape the length histogram;
+    the defaults are the small test corpus, while the e2e demo passes
+    MS MARCO-like values (queries ~6 words, passages ~40-90 — ref:
+    misc/inspect_data.ipynb schema stats).
 
     Returns a dict of the created paths (keys: train, validation, test,
     embeddings, word_to_idx).
@@ -58,10 +65,10 @@ def generate_corpus(
         for qid in range(n):
             topic = int(r.integers(num_topics))
             tw = topics[topic]
-            q_words = [tw[int(r.integers(words_per_topic))] for _ in range(r.integers(3, 8))]
+            q_words = [tw[int(r.integers(words_per_topic))] for _ in range(r.integers(*query_len_range))]
             passages, selected = [], []
             for p in range(passages_per_query):
-                p_words = [tw[int(r.integers(words_per_topic))] for _ in range(r.integers(8, 20))]
+                p_words = [tw[int(r.integers(words_per_topic))] for _ in range(r.integers(*passage_len_range))]
                 # sprinkle off-topic noise words
                 noise_topic = int(r.integers(num_topics))
                 p_words += [topics[noise_topic][int(r.integers(words_per_topic))] for _ in range(2)]
@@ -110,6 +117,32 @@ def generate_corpus(
     paths["embeddings"] = out_dir / "embeddings.npy"
     paths["word_to_idx"] = out_dir / "word_to_idx.pkl"
     return paths
+
+
+def generate_filler_documents(
+    n: int,
+    num_topics: int,
+    words_per_topic: int,
+    len_range: Tuple[int, int] = (40, 90),
+    seed: int = 1234,
+) -> List[str]:
+    """``n`` topical filler documents, vectorized draws (the e2e demo's
+    1M-doc serving corpus — corpus scale beyond what the triplet splits
+    contribute, same topic vocabulary so TF-IDF and the doc tower see
+    in-distribution text)."""
+    r = np.random.default_rng(seed)
+    lens = r.integers(len_range[0], len_range[1], size=n)
+    doc_topics = r.integers(num_topics, size=n)
+    word_idx = r.integers(words_per_topic, size=int(lens.sum()))
+    vocab = _make_vocab(num_topics, words_per_topic)
+    docs: List[str] = []
+    pos = 0
+    for i in range(n):
+        L = int(lens[i])
+        tw = vocab[int(doc_topics[i])]
+        docs.append(" ".join(map(tw.__getitem__, word_idx[pos:pos + L])))
+        pos += L
+    return docs
 
 
 def synthetic_config(out_dir: str | Path, **overrides):

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from twotowermlretrieval_tpu.ops.attention import fused_attention, use_fused_attention
 from twotowermlretrieval_tpu.utils.dtypes import fast_bernoulli, matmul_precision
 
 
@@ -53,6 +54,12 @@ class TransformerSpec:
     # round-2 numerics) or 'bfloat16' (halves elementwise/residual HBM
     # traffic; layer-norm statistics are always computed in f32).
     residual_dtype: str = "float32"
+    # Fused attention (ops/attention.py): softmax scores stay VMEM-resident
+    # instead of breathing [B, heads, T, T] tensors through HBM — the
+    # measured majority of the attention sublayer's cost at encoder shapes
+    # (docs/RESULTS.md round 4). None = auto (TPU and T <= 512); True/False
+    # force the Pallas / XLA path.
+    fused_attention: Optional[bool] = None
 
     def __post_init__(self):
         if self.hidden_dim % self.num_heads != 0:
@@ -92,6 +99,7 @@ class TransformerSpec:
             model_axis_size=config.mesh_model if tp else 1,
             remat_blocks=getattr(config, "remat_blocks", False),
             residual_dtype=getattr(config, "residual_dtype", "float32"),
+            fused_attention=getattr(config, "fused_attention", None),
         )
 
 
@@ -278,17 +286,31 @@ def transformer_encode(
         q = qkv[:, :, 0].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
         k = qkv[:, :, 1].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
         v = qkv[:, :, 2].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
-        scores = (
-            jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), k.astype(cdt),
-                       preferred_element_type=jnp.float32,
-                       precision=matmul_precision(cdt))
-            / np.sqrt(hd)
-            + attn_bias
-        )
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(cdt), v.astype(cdt),
-                          preferred_element_type=jnp.float32,
-                          precision=matmul_precision(cdt))
+        if use_fused_attention(T, hd, spec.fused_attention):
+            # VMEM-resident softmax attention over flattened (B, heads)
+            # rows; the [B, heads, T, T] tensors never reach HBM
+            # (ops/attention.py — the measured round-4 MFU lever)
+            R = B * nh_local
+            bias_rows = jnp.broadcast_to(
+                attn_bias[:, 0], (B, nh_local, T)
+            ).reshape(R, T)
+            attn = fused_attention(
+                q.reshape(R, T, hd), k.reshape(R, T, hd),
+                v.reshape(R, T, hd), bias_rows,
+                float(1.0 / np.sqrt(hd)), spec.compute_dtype,
+            ).reshape(B, nh_local, T, hd)
+        else:
+            scores = (
+                jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), k.astype(cdt),
+                           preferred_element_type=jnp.float32,
+                           precision=matmul_precision(cdt))
+                / np.sqrt(hd)
+                + attn_bias
+            )
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(cdt), v.astype(cdt),
+                              preferred_element_type=jnp.float32,
+                              precision=matmul_precision(cdt))
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H_local)
         # row-sharded out-projection: partial [B, T, H] per shard -> psum;
         # the replicated bias is added AFTER the reduction (once)

@@ -407,8 +407,11 @@ def main():
                         help="'ivf' uses a prebuilt ivf_index.npz from the "
                              "artifacts (tools/build_index.py) or clusters "
                              "at startup")
-    parser.add_argument("--nprobe", type=int, default=16,
-                        help="ivf probe width (recall/latency trade-off)")
+    parser.add_argument("--nprobe", type=int, default=None,
+                        help="ivf probe width (recall/latency trade-off); "
+                             "default: the value ttr-build-index "
+                             "--target-recall persisted in "
+                             "retrieval_tuning.json, else 16")
     parser.add_argument("--autotune-retrieval", action="store_true",
                         help="at startup, time the fused retrieval-kernel "
                              "variants (phase-2 re-score vs score-cache "

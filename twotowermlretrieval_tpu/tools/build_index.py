@@ -81,7 +81,27 @@ def main():
         verdict = "meets" if recall >= args.target_recall else "BEST AVAILABLE under"
         print(f"nprobe={nprobe} {verdict} recall@{args.tune_k} target "
               f"{args.target_recall} (measured {recall:.4f}) — serve with "
-              f"ttr-serve --index-type ivf --nprobe {nprobe}")
+              f"ttr-serve --index-type ivf (nprobe persisted; override "
+              f"with --nprobe)")
+
+        # persist with the artifacts so ttr-serve defaults to the measured
+        # value without re-measuring (VERDICT r3 #6)
+        from twotowermlretrieval_tpu.serve.index import save_retrieval_tuning
+
+        save_retrieval_tuning(art, {
+            "nprobe": int(nprobe),
+            "nprobe_recall": {
+                "k": args.tune_k, "target": args.target_recall,
+                "measured": float(recall),
+            },
+            "nprobe_signature": {
+                "num_docs": int(doc_embeddings.shape[0]),
+                "dim": int(doc_embeddings.shape[1]),
+                "storage_dtype": args.storage_dtype,
+                "index_type": "ivf",
+                "backend": __import__("jax").default_backend(),
+            },
+        })
 
 
 if __name__ == "__main__":
