@@ -132,3 +132,67 @@ def test_pick_b_block_constraints():
             assert bb <= 256 and bb % 16 == 0
     assert pick_b_block(1008) == 0  # not divisible by 128/256, too big whole
     assert pick_b_block(8) == 0  # below the 16-row sublane requirement
+
+
+def test_split_plan_matches_combined(gru_case):
+    """The SPLIT plan (per-direction programs + hoisted weight-grad
+    matmul — the H=1024 execution path, VERDICT r3 #5) must reproduce the
+    combined kernels: forward outputs exactly, gradients to matmul
+    reassociation tolerance."""
+    from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_bwd_split_full
+
+    cell, xps, mask2, w_hh, b_hh, cts, ct_fin = gru_case
+    D = len(xps)
+    outs_ref, c_ref, fin_ref = rnn_layer_fwd(
+        cell, xps, mask2, w_hh, b_hh, compute_dtype="float32", interpret=True
+    )
+    dx_ref, dw_ref, db_ref = rnn_layer_bwd(
+        cell, xps, mask2, w_hh, b_hh, outs_ref, c_ref, cts, ct_fin,
+        compute_dtype="float32", interpret=True,
+    )
+
+    outs_s, c_s, fins = [], [], []
+    for d in range(D):
+        o, ch, hf = rnn_layer_fwd(
+            cell, (xps[d],), mask2, w_hh[d : d + 1], b_hh[d : d + 1],
+            compute_dtype="float32", interpret=True, directions=(d,),
+        )
+        outs_s.append(o[0])
+        if ch:
+            c_s.append(ch[0])
+        fins.append(hf)
+    for a, b in zip(outs_s, outs_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.concatenate(fins, axis=0), np.asarray(fin_ref), rtol=1e-6, atol=1e-6
+    )
+
+    dx_s, dw_s, db_s = rnn_layer_bwd_split_full(
+        cell, xps, mask2, w_hh, b_hh, tuple(outs_s), tuple(c_s), cts, ct_fin,
+        compute_dtype="float32", interpret=True,
+    )
+    for a, b in zip(dx_s, dx_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_s), np.asarray(dw_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db_s), np.asarray(db_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_plan_fused_covers_wide_towers():
+    """plan selection: reference shapes ride the combined program; H=1024
+    (whose resident weights + grad scratch exceed scoped VMEM) gets the
+    split plan instead of falling off to the ~4.5x-slower XLA scan; and
+    non-tile-aligned H stays off the fused paths entirely."""
+    from twotowermlretrieval_tpu.ops.rnn_scan import (
+        pick_b_block_split,
+        plan_fused,
+    )
+
+    assert plan_fused(64, 256, 768, 2) == "fused"  # reference config
+    assert plan_fused(256, 256, 768, 2) == "fused"
+    # H=1024 bidirectional GRU: combined plan is out, split covers it
+    assert plan_fused(256, 1024, 3072, 2) == "split"
+    assert pick_b_block_split(256, 1024, 3072) in (128, 256)
+    assert plan_fused(64, 1024, 3072, 2) == "split"
+    # H=1024 LSTM at a modest batch also stays fused via split
+    assert plan_fused(64, 1024, 4096, 2) == "split"
+    assert plan_fused(64, 100, 300, 2) is None  # H % 128 != 0

@@ -140,8 +140,10 @@ class Config:
     # and saved residual; layer-norm statistics stay in f32 either way.
     residual_dtype: str = "float32"
     # Fused VMEM-resident attention kernel for the transformer tower
-    # (ops/attention.py). Tri-state: None = auto (on for TPU at encoder
-    # sequence lengths), True/False force the Pallas / XLA path.
+    # (ops/attention.py) — the long-sequence MEMORY valve, measured
+    # slower than the transpose-free bf16-score XLA path at encoder
+    # shapes (docs/RESULTS.md round 4). Tri-state: None = auto
+    # (currently: off), True/False force the Pallas / XLA path.
     fused_attention: Optional[bool] = None
     checkpoint_every_steps: int = 500
     # Train steps executed per jitted dispatch (lax.scan over a [K, B, W]

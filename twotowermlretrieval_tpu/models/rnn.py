@@ -213,22 +213,24 @@ def _batched_matmul(a: jax.Array, b: jax.Array, cdt) -> jax.Array:
     )
 
 
-def _use_fused_cell(xp0, w_hh, compute_dtype) -> bool:
-    """True when the Pallas fused time-loop kernels (ops/rnn_scan.py) apply:
-    TPU backend and TPU-tile-aligned shapes (H % 128, B % 16)."""
+def _fused_plan(xp0, w_hh, compute_dtype):
+    """Which fused time-loop plan applies (ops/rnn_scan.plan_fused):
+    'fused' (one combined program — the reference-shape fast path),
+    'split' (per-direction programs + hoisted weight-grad matmul — keeps
+    H=1024 towers fused, VERDICT r3 #5), or None (XLA scan)."""
     if os.environ.get("TTMR_DISABLE_FUSED_RNN"):
-        return False
-    from twotowermlretrieval_tpu.ops.rnn_scan import pick_b_block
+        return None
+    from twotowermlretrieval_tpu.ops.rnn_scan import plan_fused
 
     T, B, GH = xp0.shape
     D, H = w_hh.shape[0], w_hh.shape[1]
     cdt_bytes = jnp.dtype(compute_dtype).itemsize
-    if H % 128 != 0 or not pick_b_block(B, H, GH, D, cdt_bytes):
-        return False
     try:
-        return jax.devices()[0].platform == "tpu"
+        if jax.devices()[0].platform != "tpu":
+            return None
     except Exception:
-        return False
+        return None
+    return plan_fused(B, H, GH, D, cdt_bytes)
 
 
 def _stack_fallback_inputs(xps, mask2):
@@ -274,13 +276,33 @@ def _scan_layer(
 
 
 def _scan_layer_fwd_impl(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
-    if _use_fused_cell(xps[0], w_hh, compute_dtype):
+    plan = _fused_plan(xps[0], w_hh, compute_dtype)
+    if plan == "fused":
         from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_fwd
 
         outs, c_hist, h_final = rnn_layer_fwd(
             rnn_type, xps, mask2, w_hh, b_hh, compute_dtype=compute_dtype
         )
         return outs, c_hist, h_final
+    if plan == "split":
+        # one fused program per direction (the combined program's resident
+        # weights would exceed scoped VMEM at this H)
+        from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_fwd
+
+        from twotowermlretrieval_tpu.ops.rnn_scan import _SPLIT_VMEM_MB
+
+        outs, c_hists, h_fins = [], [], []
+        for d in range(len(xps)):
+            o, ch, hf = rnn_layer_fwd(
+                rnn_type, (xps[d],), mask2, w_hh[d : d + 1], b_hh[d : d + 1],
+                compute_dtype=compute_dtype, directions=(d,),
+                vmem_limit_mb=_SPLIT_VMEM_MB,
+            )
+            outs.append(o[0])
+            if ch:
+                c_hists.append(ch[0])
+            h_fins.append(hf)
+        return tuple(outs), tuple(c_hists), jnp.concatenate(h_fins, axis=0)
 
     x_proj, mask = _stack_fallback_inputs(xps, mask2)
     outputs, c_hist, h_final = _stacked_scan_fwd(
@@ -325,10 +347,19 @@ def _scan_layer_fwd(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
 def _scan_layer_bwd(rnn_type, compute_dtype, residuals, cotangents):
     xps, mask2, w_hh, b_hh, outs, c_hist = residuals
     douts, d_hfinal = cotangents
-    if _use_fused_cell(xps[0], w_hh, compute_dtype):
+    plan = _fused_plan(xps[0], w_hh, compute_dtype)
+    if plan == "fused":
         from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_bwd
 
         dxps, dw_hh, db_hh = rnn_layer_bwd(
+            rnn_type, xps, mask2, w_hh, b_hh, outs, c_hist, douts, d_hfinal,
+            compute_dtype=compute_dtype,
+        )
+        return dxps, jnp.zeros_like(mask2), dw_hh, db_hh
+    if plan == "split":
+        from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_bwd_split_full
+
+        dxps, dw_hh, db_hh = rnn_layer_bwd_split_full(
             rnn_type, xps, mask2, w_hh, b_hh, outs, c_hist, douts, d_hfinal,
             compute_dtype=compute_dtype,
         )

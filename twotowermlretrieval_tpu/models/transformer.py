@@ -55,10 +55,10 @@ class TransformerSpec:
     # traffic; layer-norm statistics are always computed in f32).
     residual_dtype: str = "float32"
     # Fused attention (ops/attention.py): softmax scores stay VMEM-resident
-    # instead of breathing [B, heads, T, T] tensors through HBM — the
-    # measured majority of the attention sublayer's cost at encoder shapes
-    # (docs/RESULTS.md round 4). None = auto (TPU and T <= 512); True/False
-    # force the Pallas / XLA path.
+    # instead of materializing [B, heads, T, T] in HBM — the long-sequence
+    # memory valve. Measured SLOWER than the transpose-free bf16-score XLA
+    # path at encoder shapes (docs/RESULTS.md round 4), so None = off;
+    # True forces the kernel, False forces XLA.
     fused_attention: Optional[bool] = None
 
     def __post_init__(self):
@@ -282,14 +282,20 @@ def transformer_encode(
                        preferred_element_type=jnp.float32,
                        precision=matmul_precision(cdt))
             + b_qkv
-        )  # [B, T, 3, H_local]
-        q = qkv[:, :, 0].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
-        k = qkv[:, :, 1].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
-        v = qkv[:, :, 2].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
+        ).astype(rdt)  # [B, T, 3, H_local]; rdt=bf16 halves the SAVED
+        # activation traffic (accumulation stayed f32 — XLA fuses the
+        # cast into the matmul epilogue, so no f32 tensor hits HBM)
         if use_fused_attention(T, hd, spec.fused_attention):
-            # VMEM-resident softmax attention over flattened (B, heads)
-            # rows; the [B, heads, T, T] tensors never reach HBM
-            # (ops/attention.py — the measured round-4 MFU lever)
+            # Opt-in Pallas kernel (ops/attention.py): [B, heads, T, T]
+            # never reaches HBM — the long-sequence memory valve. At the
+            # config-5 encoder shapes it measured SLOWER than the XLA
+            # path below (docs/RESULTS.md round 4), so it is off by
+            # default and the policy only auto-selects it when the score
+            # tensor would dominate HBM (T > 512-class shapes fall back
+            # to XLA anyway — force with FUSED_ATTENTION: true).
+            q = qkv[:, :, 0].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
+            k = qkv[:, :, 1].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
+            v = qkv[:, :, 2].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
             R = B * nh_local
             bias_rows = jnp.broadcast_to(
                 attn_bias[:, 0], (B, nh_local, T)
@@ -299,27 +305,40 @@ def transformer_encode(
                 v.reshape(R, T, hd), bias_rows,
                 float(1.0 / np.sqrt(hd)), spec.compute_dtype,
             ).reshape(B, nh_local, T, hd)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H_local)
         else:
-            scores = (
-                jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), k.astype(cdt),
-                           preferred_element_type=jnp.float32,
-                           precision=matmul_precision(cdt))
-                / np.sqrt(hd)
-                + attn_bias
-            )
-            probs = jax.nn.softmax(scores, axis=-1)
-            attn = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(cdt), v.astype(cdt),
+            # XLA attention, transpose-free: einsums contract straight
+            # from the [B, T, heads, hd] projection layout (XLA folds the
+            # relayout into the matmuls) and the score/prob tensors are
+            # stored bf16 (softmax statistics still f32). Measured 8.84
+            # -> 6.40 ms per doc-shape sublayer fwd+bwd vs the explicit-
+            # transpose f32-score formulation (docs/RESULTS.md round 4).
+            q = qkv[:, :, 0].reshape(B, T, nh_local, hd)
+            k = qkv[:, :, 1].reshape(B, T, nh_local, hd)
+            v = qkv[:, :, 2].reshape(B, T, nh_local, hd)
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q.astype(cdt), k.astype(cdt),
+                preferred_element_type=cdt,
+                precision=matmul_precision(cdt),
+            ) * cdt.type(1.0 / np.sqrt(hd)) + attn_bias.astype(cdt)
+            probs = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(cdt)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(cdt),
                               preferred_element_type=jnp.float32,
                               precision=matmul_precision(cdt))
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H_local)
+            attn = attn.reshape(B, T, H_local)
         # row-sharded out-projection: partial [B, T, H] per shard -> psum;
         # the replicated bias is added AFTER the reduction (once)
-        attn = jnp.einsum("btj,jh->bth", attn.astype(cdt),
+        attn = jnp.einsum("btj,jh->bth", attn.astype(rdt).astype(cdt),
                           block["attn_out"]["w"].astype(cdt),
                           preferred_element_type=jnp.float32,
                           precision=matmul_precision(cdt))
         attn = psum_if_tp(attn) + block["attn_out"]["b"]
-        attn, rng = maybe_dropout(attn, rng)
+        # dropout applies AFTER the residual-dtype cast: the mask multiply
+        # then reads/writes rdt-width tensors (half the traffic at bf16;
+        # numerically identical up to one rounding)
+        attn, rng = maybe_dropout(attn.astype(rdt), rng)
         x = x + attn.astype(rdt)
         # --- FFN sublayer ---
         y = _layer_norm(x, block["ln2"], out_dtype=rdt)
@@ -334,7 +353,7 @@ def transformer_encode(
                        preferred_element_type=jnp.float32,
                        precision=matmul_precision(cdt))
         y = psum_if_tp(y) + block["ffn_out"]["b"]
-        y, rng = maybe_dropout(y, rng)
+        y, rng = maybe_dropout(y.astype(rdt), rng)
         x = x + y.astype(rdt)
         return x, rng
 

@@ -176,9 +176,15 @@ fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
 def use_fused_attention(T: int, hd: int, force: Optional[bool] = None) -> bool:
-    """Policy: the kernel's whole-T-in-VMEM design covers the encoder
-    regime (T <= 512, hd <= 128) on TPU; everything else stays on the
-    XLA einsum path."""
+    """Policy: OFF by default — at the config-5 encoder shapes
+    (T<=128, hd=32) this kernel measured ~2.6x slower fwd+bwd than the
+    transpose-free bf16-score XLA formulation (12.3 vs 4.75 ms per
+    doc-shape layer, docs/RESULTS.md round 4): Mosaic's hd=32 batched
+    dots underfill the MXU while XLA fuses softmax into its batched
+    matmuls. The kernel remains the MEMORY valve for long sequences,
+    where XLA's [B, heads, T, T] materialization is the constraint —
+    opt in with FUSED_ATTENTION: true (supported up to T ~ 512 per the
+    whole-T-in-VMEM design)."""
     if force is not None:
         return force
-    return jax.default_backend() == "tpu" and T <= 512 and hd <= 128
+    return False

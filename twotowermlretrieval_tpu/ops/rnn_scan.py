@@ -25,14 +25,17 @@ Semantics are identical to the masked-update scan: padding steps are
 identity (packed-sequence equivalence, ref: backend/model.py:55-57) and
 gate math matches the ``torch.nn`` cell definitions.
 
-Shape constraints (TPU tiling): H % 128 == 0 and B % 16 == 0 — callers
-fall back to the XLA scan otherwise (models/rnn.py:_use_fused_cell).
+Shape constraints (TPU tiling): H % 128 == 0 and B % 16 == 0; shapes whose
+combined two-direction program exceeds scoped VMEM (H=1024+) run the SPLIT
+plan — one program per direction with the weight gradient hoisted to an XLA
+matmul (plan_fused; models/rnn.py:_fused_plan picks per shape). Everything
+else falls back to the XLA scan.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -93,7 +96,11 @@ def _bwd_prev_tmap(d: int, T: int):
     return lambda b, j: (jnp.minimum(j + 1, T - 1), b, 0)
 
 
-_VMEM_BUDGET = 16 << 20  # calibrated against measured pass/fail shapes
+_VMEM_BUDGET = 15 << 20  # calibrated against measured pass/fail shapes:
+# the combined H=512/D=2/BB=64 program estimates 16.0 MB but ACTUALLY
+# allocates 16.66 MB (measured round-4 compile failure), so the combined
+# budget sits below the 16 MB scoped default by that margin — boundary
+# shapes route to the split plan instead
 
 
 def _bwd_vmem_bytes(BB: int, H: int, GH: int, D: int, cdt_bytes: int) -> int:
@@ -108,23 +115,76 @@ def _bwd_vmem_bytes(BB: int, H: int, GH: int, D: int, cdt_bytes: int) -> int:
     return weights + grads + blocks + scratch
 
 
+def _bwd_split_vmem_bytes(BB: int, H: int, GH: int, cdt_bytes: int) -> int:
+    """Footprint of the SPLIT backward kernel (one direction, no in-VMEM
+    weight-gradient accumulation, no transposed weight copy): what lets
+    H=1024 towers stay on the fused path (VERDICT r3 #5). The weight
+    gradient moves to one XLA [H, T*B] x [T*B, GH] matmul outside."""
+    weights = 2 * H * GH * cdt_bytes  # w_hh (Mosaic double-buffers it too)
+    # xp in + dxp/dhp out (cdt) and hprev/dout/c views (f32), double-buffered
+    blocks = 2 * BB * (3 * GH * cdt_bytes + 3 * H * 4)
+    scratch = 2 * BB * H * 4  # dh (+ dc)
+    return weights + blocks + scratch
+
+
+def _candidate_blocks(B: int):
+    candidates = []
+    if B % 16 == 0 and B <= 256:
+        candidates.append(B)  # single block: every view equals the full dim
+    candidates += [bb for bb in (256, 128) if B % bb == 0]
+    return candidates
+
+
 def pick_b_block(B: int, H: int = 256, GH: int = 768, D: int = 2, cdt_bytes: int = 2) -> int:
     """Row-block size for the (B_blocks, T) grid, or 0 when no valid block
-    exists (callers fall back to the XLA scan).
+    exists (callers fall back to the XLA scan or the split plan).
 
     Constraints: divides B; fits the scoped-VMEM budget (estimated for the
     heavier backward kernel); and — because the mask view's block puts rows
     in the LANE dimension — either a multiple of 128 or equal to the full
     B (Mosaic requires last-dim blocks of 128k or the whole axis).
     """
-    candidates = []
-    if B % 16 == 0 and B <= 256:
-        candidates.append(B)  # single block: every view equals the full dim
-    candidates += [bb for bb in (256, 128) if B % bb == 0]
-    for bb in candidates:
+    for bb in _candidate_blocks(B):
         if _bwd_vmem_bytes(bb, H, GH, D, cdt_bytes) <= _VMEM_BUDGET:
             return bb
     return 0
+
+
+def pick_b_block_split(B: int, H: int, GH: int, cdt_bytes: int = 2) -> int:
+    """Row block for the per-direction SPLIT plan, or 0 (judged against
+    the raised _SPLIT_VMEM_MB ceiling its programs compile under)."""
+    for bb in _candidate_blocks(B):
+        if _bwd_split_vmem_bytes(bb, H, GH, cdt_bytes) <= _SPLIT_VMEM_BUDGET:
+            return bb
+    return 0
+
+
+# Scoped-VMEM ceiling for the split plan's programs: Mosaic double-buffers
+# even the constant-index resident weight block, so wide towers need more
+# than the 16 MB compiler default (H=1024 GRU bwd measured 18.9 MB). The
+# chip has 128 MiB of physical VMEM; 40 MB leaves ample pipeline headroom.
+_SPLIT_VMEM_MB = 40
+_SPLIT_VMEM_BUDGET = _SPLIT_VMEM_MB << 20
+
+
+def plan_fused(B: int, H: int, GH: int, D: int, cdt_bytes: int = 2) -> Optional[str]:
+    """Which fused execution plan covers this shape:
+
+    'fused' — both directions in ONE program, weight grads accumulated in
+              VMEM scratch (the fast path; covers the reference's H=256
+              and up to ~H=512 bidirectional);
+    'split' — one program PER DIRECTION with the weight gradient hoisted
+              to an XLA matmul (covers H=1024+, whose resident weights +
+              gradient scratch exceed scoped VMEM);
+    None    — no valid plan; callers use the XLA scan.
+    """
+    if H % 128 != 0:
+        return None
+    if pick_b_block(B, H, GH, D, cdt_bytes):
+        return "fused"
+    if pick_b_block_split(B, H, GH, cdt_bytes):
+        return "split"
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -196,7 +256,9 @@ def _fwd_kernel(*refs, cell: str, n_dir: int, cdt):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cell", "compute_dtype", "interpret", "b_block")
+    jax.jit,
+    static_argnames=("cell", "compute_dtype", "interpret", "b_block",
+                     "directions", "vmem_limit_mb"),
 )
 def rnn_layer_fwd(
     cell: str,
@@ -207,6 +269,12 @@ def rnn_layer_fwd(
     compute_dtype: str = "bfloat16",
     interpret: bool = False,
     b_block: int = 0,  # 0 = auto (largest <=256 divisor of B)
+    vmem_limit_mb: int = 0,  # 0 = compiler default (16 MB scoped); the
+    # split plan raises it — Mosaic double-buffers even the constant-index
+    # weight block, so wide towers need headroom beyond the default
+    directions: Optional[Tuple[int, ...]] = None,  # absolute direction per
+    # entry of xps (default 0..D-1); the 'split' plan passes (1,) to run
+    # the backward tower direction as its own one-direction program
 ):
     """Fused recurrent layer forward.
 
@@ -214,13 +282,17 @@ def rnn_layer_fwd(
     c_hist — per-direction [T, B, H] f32 (LSTM) or () — and
     h_final [D, B, H] f32)."""
     D = len(xps)
+    dirs = directions or tuple(range(D))
     T, B, GH = xps[0].shape
     H = GH // _GATES[cell]
     cdt = jnp.dtype(compute_dtype)
     lstm = cell == "LSTM"
     mask3 = mask[:, None, :]  # [T, 1, B] so blocks are (1, 1, B)
 
-    BB = b_block or pick_b_block(B, H, GH, D, cdt.itemsize)
+    BB = b_block or (
+        pick_b_block(B, H, GH, D, cdt.itemsize)
+        or pick_b_block_split(B, H, GH, cdt.itemsize)
+    )
     if not BB or B % BB:
         raise ValueError(f"no valid B block for B={B}; caller should fall back")
     nb = B // BB
@@ -230,11 +302,11 @@ def rnn_layer_fwd(
         grid=(nb, T),
         in_specs=[
             *[
-                pl.BlockSpec((1, BB, GH), _fwd_tmap(d, T), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, BB, GH), _fwd_tmap(dirs[d], T), memory_space=pltpu.VMEM)
                 for d in range(D)
             ],
             *[
-                pl.BlockSpec((1, 1, BB), _fwd_tmap(d, T, mask=True), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, 1, BB), _fwd_tmap(dirs[d], T, mask=True), memory_space=pltpu.VMEM)
                 for d in range(D)
             ],
             pl.BlockSpec((D, H, GH), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -244,7 +316,7 @@ def rnn_layer_fwd(
             # out_0..out_{D-1}, then (LSTM) c_0..c_{D-1}: position k uses
             # direction (k % D)'s time map
             *[
-                pl.BlockSpec((1, BB, H), _fwd_tmap(k % D, T), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, BB, H), _fwd_tmap(dirs[k % D], T), memory_space=pltpu.VMEM)
                 for k in range(n_state_outs)
             ],
             pl.BlockSpec((D, BB, H), lambda b, i: (0, b, 0), memory_space=pltpu.VMEM),
@@ -261,6 +333,10 @@ def rnn_layer_fwd(
             bytes_accessed=D * T * B * GH * cdt.itemsize + T * D * B * H * 4,
             transcendentals=3 * T * D * B * H,
         ),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_mb << 20)
+            if vmem_limit_mb else None
+        ),
         interpret=interpret,
     )(*[xp.astype(cdt) for xp in xps], *[mask3] * D, w_hh.astype(cdt), b_hh)
     outs = tuple(results[:D])
@@ -273,10 +349,26 @@ def rnn_layer_fwd(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(*refs, cell: str, n_dir: int, cdt):
-    # refs: xp_d*, m_d*, hprev_d*, [cprev_d* if LSTM], [hcur_d* if RNN],
-    #       dout_d*, w_hh, wT, b_hh, dhf,
-    #       dxp_d*, dw, db, dh_scr, [dc_scr if LSTM], dw_scr, db_scr
+def _mm_wT(dhp, w, cdt):
+    """[B, G*H] (x) [H, G*H] contracted over G*H -> [B, H]: the dh chain's
+    dhp @ w^T WITHOUT a materialized transposed weight copy (the split
+    plan's VMEM saver — the MXU contracts either orientation)."""
+    return jax.lax.dot_general(
+        dhp.astype(cdt), w.astype(cdt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(cdt),
+    )
+
+
+def _bwd_kernel(*refs, cell: str, n_dir: int, cdt, split: bool = False):
+    # refs (split=False):
+    #   xp_d*, m_d*, hprev_d*, [cprev_d* if LSTM], [hcur_d* if RNN],
+    #   dout_d*, w_hh, wT, b_hh, dhf,
+    #   dxp_d*, dw, db, dh_scr, [dc_scr if LSTM], dw_scr, db_scr
+    # refs (split=True, one direction, no wT/dw/db and no grad scratch):
+    #   xp, m, hprev, [cprev], [hcur], dout, w_hh, b_hh, dhf,
+    #   dxp, [dhp if GRU], dh_scr, [dc_scr if LSTM]
     lstm = cell == "LSTM"
     rnn = cell == "RNN"
     i = 0
@@ -286,12 +378,28 @@ def _bwd_kernel(*refs, cell: str, n_dir: int, cdt):
     cprev_refs = refs[i : i + n_dir] if lstm else (); i += n_dir if lstm else 0
     hcur_refs = refs[i : i + n_dir] if rnn else (); i += n_dir if rnn else 0
     dout_refs = refs[i : i + n_dir]; i += n_dir
-    w_ref, wT_ref, b_ref, dhf_ref = refs[i : i + 4]; i += 4
+    if split:
+        w_ref, b_ref, dhf_ref = refs[i : i + 3]; i += 3
+        wT_ref = None
+    else:
+        w_ref, wT_ref, b_ref, dhf_ref = refs[i : i + 4]; i += 4
     dxp_refs = refs[i : i + n_dir]; i += n_dir
-    dw_ref, db_ref = refs[i : i + 2]; i += 2
+    if split:
+        dhp_refs = refs[i : i + n_dir] if cell == "GRU" else ()
+        i += n_dir if cell == "GRU" else 0
+        dw_ref = db_ref = None
+    else:
+        dw_ref, db_ref = refs[i : i + 2]; i += 2
     dh_scr = refs[i]; i += 1
     dc_scr = refs[i] if lstm else None; i += 1 if lstm else 0
-    dw_scr, db_scr = refs[i], refs[i + 1]
+    if not split:
+        dw_scr, db_scr = refs[i], refs[i + 1]
+
+    def chain(dhp, d):
+        # dh contribution through the recurrent weights
+        if split:
+            return _mm_wT(dhp, w_ref[d], cdt)
+        return _mm(dhp, wT_ref[d], cdt)
 
     b_blk = pl.program_id(0)  # grid = (B_blocks, T); T iterates fastest
     num_blocks = pl.num_programs(0)
@@ -310,10 +418,11 @@ def _bwd_kernel(*refs, cell: str, n_dir: int, cdt):
         if lstm:
             dc_scr[:] = jnp.zeros_like(dc_scr)
 
-        @pl.when(b_blk == 0)
-        def _init_w():
-            dw_scr[:] = jnp.zeros_like(dw_scr)
-            db_scr[:] = jnp.zeros_like(db_scr)
+        if not split:
+            @pl.when(b_blk == 0)
+            def _init_w():
+                dw_scr[:] = jnp.zeros_like(dw_scr)
+                db_scr[:] = jnp.zeros_like(db_scr)
 
     for d in range(n_dir):  # static unroll
         h_prev = jnp.where(is_first_pos, 0.0, hprev_refs[d][0])  # [B, H] f32
@@ -336,7 +445,7 @@ def _bwd_kernel(*refs, cell: str, n_dir: int, cdt):
             dz_pre = dz * z * (1.0 - z)
             dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
             dhp = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
-            dh_scr[d] = _mm(dhp, wT_ref[d], cdt) + dh_new * z + dh_direct
+            dh_scr[d] = chain(dhp, d) + dh_new * z + dh_direct
         elif cell == "LSTM":
             c_prev = jnp.where(is_first_pos, 0.0, cprev_refs[d][0])
             dc_t = dc_scr[d]
@@ -363,21 +472,26 @@ def _bwd_kernel(*refs, cell: str, n_dir: int, cdt):
             )
             dxp = dhp = dgates
             dc_scr[d] = dc_new * f_g + dc_direct
-            dh_scr[d] = _mm(dhp, wT_ref[d], cdt) + dh_direct
+            dh_scr[d] = chain(dhp, d) + dh_direct
         else:  # RNN: h_new == saved output wherever m==1; dh_new==0 elsewhere
             h_t = hcur_refs[d][0]
             dxp = dhp = dh_new * (1.0 - h_t * h_t)
-            dh_scr[d] = _mm(dhp, wT_ref[d], cdt) + dh_direct
+            dh_scr[d] = chain(dhp, d) + dh_direct
 
         dxp_refs[d][0] = dxp.astype(cdt)
-        # In-VMEM weight-gradient accumulation: [H, B] @ [B, G*H] on the MXU
-        dw_scr[d] += _outer_acc(h_prev, dhp, cdt)
-        db_scr[d] += jnp.sum(dhp, axis=0)
+        if split:
+            if cell == "GRU":
+                dhp_refs[d][0] = dhp.astype(cdt)
+        else:
+            # In-VMEM weight-gradient accumulation: [H, B] @ [B, G*H] on MXU
+            dw_scr[d] += _outer_acc(h_prev, dhp, cdt)
+            db_scr[d] += jnp.sum(dhp, axis=0)
 
-    @pl.when((step == num_steps - 1) & (b_blk == num_blocks - 1))
-    def _fin():
-        dw_ref[:] = dw_scr[:]
-        db_ref[:] = db_scr[:]
+    if not split:
+        @pl.when((step == num_steps - 1) & (b_blk == num_blocks - 1))
+        def _fin():
+            dw_ref[:] = dw_scr[:]
+            db_ref[:] = db_scr[:]
 
 
 @functools.partial(
@@ -496,3 +610,162 @@ def rnn_layer_bwd(
     )
     dxps = tuple(r.astype(xps[0].dtype) for r in results[:D])
     return dxps, results[D], results[D + 1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cell", "direction", "compute_dtype", "interpret",
+                     "b_block", "vmem_limit_mb"),
+)
+def rnn_layer_bwd_split(
+    cell: str,
+    xp: jax.Array,  # [T, B, G*H] f32, original time order
+    mask: jax.Array,  # [T, B] f32
+    w_hh1: jax.Array,  # [1, H, G*H] f32 (one direction's weights)
+    b_hh1: jax.Array,  # [1, G*H] f32
+    out: jax.Array,  # [T, B, H] f32 forward history (this direction)
+    c_hist1,  # [T, B, H] f32 (LSTM) or None
+    dout: jax.Array,  # [T, B, H] f32 cotangents
+    d_hfinal1: jax.Array,  # [1, B, H] f32
+    direction: int = 0,
+    compute_dtype: str = "bfloat16",
+    interpret: bool = False,
+    b_block: int = 0,
+    vmem_limit_mb: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-direction fused backward for the SPLIT plan (VERDICT r3 #5):
+    no in-VMEM weight-gradient accumulation and no transposed-weight copy,
+    which is what lets H=1024 towers stay fused (the combined kernel's
+    resident weights + [D, H, G*H] f32 gradient scratch exceed scoped
+    VMEM there — see _bwd_split_vmem_bytes).
+
+    Returns (dxp [T, B, G*H], dhp [T, B, G*H]) in the compute dtype: dxp
+    is the input-projection cotangent; dhp the RECURRENT pre-activation
+    cotangent (they differ only in GRU's candidate gate). The caller
+    computes dw = sum_t h_prev(t)^T dhp(t) and db = sum dhp as one XLA
+    matmul over the [T*B] axis — cheap MXU work plus one streamed
+    [T, B, G*H] tensor of HBM traffic.
+    """
+    T, B, GH = xp.shape
+    H = GH // _GATES[cell]
+    cdt = jnp.dtype(compute_dtype)
+    lstm = cell == "LSTM"
+    rnn = cell == "RNN"
+    gru = cell == "GRU"
+    mask3 = mask[:, None, :]
+    d = direction
+
+    BB = b_block or pick_b_block_split(B, H, GH, cdt.itemsize)
+    if not BB or B % BB:
+        raise ValueError(f"no valid split B block for B={B}")
+    nb = B // BB
+
+    extra_in_specs = []
+    extra_inputs = []
+    if lstm:
+        extra_in_specs.append(
+            pl.BlockSpec((1, BB, H), _bwd_prev_tmap(d, T), memory_space=pltpu.VMEM)
+        )
+        extra_inputs.append(c_hist1)
+    if rnn:
+        extra_in_specs.append(
+            pl.BlockSpec((1, BB, H), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+        )
+        extra_inputs.append(out)
+
+    scratch_shapes = [pltpu.VMEM((1, BB, H), jnp.float32)]
+    if lstm:
+        scratch_shapes.append(pltpu.VMEM((1, BB, H), jnp.float32))
+
+    n_outs = 2 if gru else 1
+    results = pl.pallas_call(
+        functools.partial(_bwd_kernel, cell=cell, n_dir=1, cdt=cdt, split=True),
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, BB, GH), _bwd_tmap(d, T), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), _bwd_tmap(d, T, mask=True), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), _bwd_prev_tmap(d, T), memory_space=pltpu.VMEM),
+            *extra_in_specs,
+            pl.BlockSpec((1, BB, H), _bwd_tmap(d, T), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, GH), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GH), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), lambda b, j: (0, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BB, GH), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+            for _ in range(n_outs)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, B, GH), cdt) for _ in range(n_outs)],
+        scratch_shapes=scratch_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * T * B * H * GH,
+            bytes_accessed=3 * T * B * GH * cdt.itemsize + 2 * T * B * H * 4,
+            transcendentals=3 * T * B * H,
+        ),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_mb << 20)
+            if vmem_limit_mb else None
+        ),
+        interpret=interpret,
+    )(
+        xp.astype(cdt), mask3, out, *extra_inputs, dout,
+        w_hh1.astype(cdt), b_hh1, d_hfinal1,
+    )
+    dxp = results[0]
+    dhp = results[1] if gru else results[0]
+    return dxp, dhp
+
+
+def rnn_layer_bwd_split_full(
+    cell: str,
+    xps: Sequence[jax.Array],
+    mask: jax.Array,
+    w_hh: jax.Array,  # [D, H, G*H]
+    b_hh: jax.Array,  # [D, G*H]
+    outs: Sequence[jax.Array],
+    c_hist: Sequence[jax.Array],
+    douts: Sequence[jax.Array],
+    d_hfinal: jax.Array,  # [D, B, H]
+    compute_dtype: str = "bfloat16",
+    interpret: bool = False,
+) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array]:
+    """The whole SPLIT-plan backward: per-direction kernel calls + the
+    hoisted weight/bias gradients. Drop-in equivalent of rnn_layer_bwd
+    for shapes whose combined program exceeds scoped VMEM (H=1024+).
+
+    dw[d] = sum_t h_prev(t)^T dhp(t) as ONE [H, T*B] x [T*B, G*H] MXU
+    matmul per direction; h_prev in original time order is the saved
+    output shifted by the direction's processing order, and masked steps
+    contribute zero (their gate cotangents are zero inside the kernel).
+    """
+    cdt = jnp.dtype(compute_dtype)
+    H = w_hh.shape[1]
+    dxps, dws, dbs = [], [], []
+    for d in range(len(xps)):
+        dxp, dhp = rnn_layer_bwd_split(
+            cell, xps[d], mask, w_hh[d : d + 1], b_hh[d : d + 1],
+            outs[d], c_hist[d] if c_hist else None, douts[d],
+            d_hfinal[d : d + 1], direction=d, compute_dtype=compute_dtype,
+            interpret=interpret, vmem_limit_mb=_SPLIT_VMEM_MB,
+        )
+        if d == 0:
+            h_prev = jnp.concatenate(
+                [jnp.zeros_like(outs[d][:1]), outs[d][:-1]], axis=0
+            )
+        else:
+            h_prev = jnp.concatenate(
+                [outs[d][1:], jnp.zeros_like(outs[d][:1])], axis=0
+            )
+        dhp2 = dhp.reshape(-1, dhp.shape[-1])
+        hp2 = h_prev.reshape(-1, H)
+        dws.append(
+            jax.lax.dot_general(
+                hp2.astype(cdt), dhp2,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=matmul_precision(cdt),
+            )
+        )
+        dbs.append(jnp.sum(dhp2.astype(jnp.float32), axis=0))
+        dxps.append(dxp.astype(xps[d].dtype))
+    return tuple(dxps), jnp.stack(dws), jnp.stack(dbs)
