@@ -388,6 +388,39 @@ def test_http_keepalive_reuses_connection(server_url):
         conn.close()
 
 
+def test_http_response_single_write_and_nodelay(running_server):
+    """Headers and body must leave in ONE socket write with TCP_NODELAY on:
+    two small sends per response on a reused keep-alive connection trip the
+    Nagle/delayed-ACK interaction — a measured ~40 ms p50 stall under
+    ttr-loadtest --keep-alive (docs/RESULTS.md round 4)."""
+    Handler = running_server.RequestHandlerClass
+    assert Handler.disable_nagle_algorithm is True
+
+    h = object.__new__(Handler)
+    h.path = "/health"
+    h.request_version = "HTTP/1.1"
+    h.requestline = "GET /health HTTP/1.1"
+    h.client_address = ("127.0.0.1", 0)
+    h.close_connection = False
+    h._t_start = time.monotonic()
+    writes = []
+
+    class _CountingWfile:
+        def write(self, data):
+            writes.append(bytes(data))
+
+        def flush(self):
+            pass
+
+    h.wfile = _CountingWfile()
+    body = b'{"status": "ok"}'
+    h._send(200, body, "application/json")
+    assert len(writes) == 1, f"response used {len(writes)} writes, expected 1"
+    assert writes[0].startswith(b"HTTP/1.1 200")
+    assert writes[0].endswith(body)
+    assert not h._headers_buffer  # stdlib buffer state stays consistent
+
+
 def test_http_keepalive_survives_undrained_error_paths(server_url):
     """Error responses that skip body parsing must still drain (or close):
     leftover body bytes would be misparsed as the next request line on the

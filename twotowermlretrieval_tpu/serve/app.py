@@ -75,6 +75,14 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
         # it does not consume (_discard_body) so leftover bytes can't be
         # misparsed as the next request on the persistent connection.
         protocol_version = "HTTP/1.1"
+        # TCP_NODELAY: on a reused keep-alive connection, Nagle holds a
+        # second small segment until the first is ACKed, and Linux's
+        # delayed ACK (~40 ms once the connection leaves quickack mode)
+        # turns every headers-then-body response pair into a measured
+        # ~40 ms p50 stall under ttr-loadtest --keep-alive. _send also
+        # coalesces headers+body into ONE write, so a response is a
+        # single segment either way.
+        disable_nagle_algorithm = True
 
         _KNOWN_PATHS = frozenset(("/", "/index.html", "/health", "/search"))
 
@@ -98,8 +106,16 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
             self.send_header("Access-Control-Allow-Origin", "*")
             self.send_header("Access-Control-Allow-Methods", "*")
             self.send_header("Access-Control-Allow-Headers", "*")
-            self.end_headers()
-            self.wfile.write(body)
+            # One send for headers AND body (end_headers + wfile.write
+            # would be two): a single-segment response cannot trip the
+            # Nagle/delayed-ACK interaction on keep-alive connections.
+            # _headers_buffer is the same stdlib buffer end_headers
+            # flushes; emptying it keeps BaseHTTPRequestHandler state
+            # consistent.
+            self._headers_buffer.append(b"\r\n")
+            self._headers_buffer.append(body)
+            self.wfile.write(b"".join(self._headers_buffer))
+            self._headers_buffer = []
 
         def _send_json(self, payload, code: int = 200):
             self._send(code, json.dumps(payload).encode(), "application/json")
