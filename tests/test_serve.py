@@ -421,6 +421,28 @@ def test_http_response_single_write_and_nodelay(running_server):
     assert not h._headers_buffer  # stdlib buffer state stays consistent
 
 
+def test_http_09_request_gets_body_only_response(server_url):
+    """An HTTP/0.9 request line (no version token) must get the 0.9-style
+    body-only response, not a dead handler thread: send_response/send_header
+    are stdlib no-ops under 0.9, so the single-write _send path has no
+    header buffer to flush and must fall back to writing the raw body."""
+    import socket
+
+    host, port = server_url.removeprefix("http://").split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        s.sendall(b"GET /health\r\n\r\n")
+        chunks = []
+        while True:
+            data = s.recv(1 << 16)
+            if not data:
+                break
+            chunks.append(data)
+    raw = b"".join(chunks)
+    assert raw, "no response bytes (handler thread died mid-request)"
+    assert not raw.startswith(b"HTTP/")  # 0.9: no status line, no headers
+    assert json.loads(raw)["status"] == "ok"
+
+
 def test_http_keepalive_survives_undrained_error_paths(server_url):
     """Error responses that skip body parsing must still drain (or close):
     leftover body bytes would be misparsed as the next request line on the

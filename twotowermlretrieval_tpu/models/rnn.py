@@ -287,9 +287,7 @@ def _scan_layer_fwd_impl(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
     if plan == "split":
         # one fused program per direction (the combined program's resident
         # weights would exceed scoped VMEM at this H)
-        from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_fwd
-
-        from twotowermlretrieval_tpu.ops.rnn_scan import _SPLIT_VMEM_MB
+        from twotowermlretrieval_tpu.ops.rnn_scan import _SPLIT_VMEM_MB, rnn_layer_fwd
 
         outs, c_hists, h_fins = [], [], []
         for d in range(len(xps)):

@@ -289,10 +289,10 @@ def transformer_encode(
             # Opt-in Pallas kernel (ops/attention.py): [B, heads, T, T]
             # never reaches HBM — the long-sequence memory valve. At the
             # config-5 encoder shapes it measured SLOWER than the XLA
-            # path below (docs/RESULTS.md round 4), so it is off by
-            # default and the policy only auto-selects it when the score
-            # tensor would dominate HBM (T > 512-class shapes fall back
-            # to XLA anyway — force with FUSED_ATTENTION: true).
+            # path below (docs/RESULTS.md round 4), so the policy never
+            # auto-selects it; FUSED_ATTENTION: true dispatches it
+            # unconditionally (the whole-T-in-VMEM design is supported
+            # to T ~ 512 — forcing it beyond that is on the caller).
             q = qkv[:, :, 0].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
             k = qkv[:, :, 1].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)
             v = qkv[:, :, 2].reshape(B, T, nh_local, hd).transpose(0, 2, 1, 3)

@@ -289,9 +289,19 @@ def rnn_layer_fwd(
     lstm = cell == "LSTM"
     mask3 = mask[:, None, :]  # [T, 1, B] so blocks are (1, 1, B)
 
+    # Auto block selection: the combined-plan budget first; the split
+    # budget only applies when the call actually IS a split-plan program —
+    # one direction, compiled under the raised scoped-VMEM ceiling. A
+    # two-direction call at a split-only shape must keep failing fast
+    # (the pre-split behavior) rather than compile-OOM under the 16 MB
+    # default.
     BB = b_block or (
         pick_b_block(B, H, GH, D, cdt.itemsize)
-        or pick_b_block_split(B, H, GH, cdt.itemsize)
+        or (
+            pick_b_block_split(B, H, GH, cdt.itemsize)
+            if D == 1 and (vmem_limit_mb << 20) >= _SPLIT_VMEM_BUDGET
+            else 0
+        )
     )
     if not BB or B % BB:
         raise ValueError(f"no valid B block for B={B}; caller should fall back")

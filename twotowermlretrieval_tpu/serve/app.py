@@ -111,11 +111,16 @@ def make_handler(engine: SearchEngine, ui_path: Path | None):
             # Nagle/delayed-ACK interaction on keep-alive connections.
             # _headers_buffer is the same stdlib buffer end_headers
             # flushes; emptying it keeps BaseHTTPRequestHandler state
-            # consistent.
-            self._headers_buffer.append(b"\r\n")
-            self._headers_buffer.append(body)
-            self.wfile.write(b"".join(self._headers_buffer))
-            self._headers_buffer = []
+            # consistent. HTTP/0.9 requests never create the buffer
+            # (send_response/send_header are no-ops there) — a 0.9
+            # response is the raw body alone.
+            if self.request_version == "HTTP/0.9":
+                self.wfile.write(body)
+            else:
+                self._headers_buffer.append(b"\r\n")
+                self._headers_buffer.append(body)
+                self.wfile.write(b"".join(self._headers_buffer))
+                self._headers_buffer = []
 
         def _send_json(self, payload, code: int = 200):
             self._send(code, json.dumps(payload).encode(), "application/json")
