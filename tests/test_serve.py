@@ -1094,16 +1094,51 @@ def test_fused_single_dispatch_matches_two_call(artifacts_dir, kwargs):
     assert out["results"][0]["dense_score"] > 0
 
 
-def test_fused_path_disabled_on_mesh(artifacts_dir):
-    """Mesh-sharded serving keeps the two-call structure (its searches are
-    pre-compiled shard_map programs); traced_args() must say so."""
+@pytest.mark.parametrize("storage_dtype", ["float32", "int8"])
+def test_fused_single_dispatch_on_mesh(artifacts_dir, storage_dtype):
+    """Mesh exact serving fuses too: encode + per-shard scan + cross-shard
+    merge trace into ONE executable (the shard_map bodies from
+    parallel/topk ride inside the engine's fused jit), and results match
+    the two-call mesh path exactly."""
     import jax as _jax
 
     from twotowermlretrieval_tpu.parallel.mesh import resolve_mesh
     from twotowermlretrieval_tpu.serve.engine import SearchEngine
 
     mesh = resolve_mesh(len(_jax.devices()), 1)
-    engine = SearchEngine(artifacts_dir, mesh=mesh, warmup=False)
+    engine = SearchEngine(artifacts_dir, mesh=mesh, warmup=False,
+                          storage_dtype=storage_dtype, use_pallas=False)
+    assert engine._corpus_args is not None
+
+    queries = ["t0w1 t0w2", "t1w3", "zzz-oov-only"]
+    embs = engine.inferencer.get_query_embeddings(queries)
+    ref_scores, ref_ids = engine.index.search(embs, k=10)
+
+    def boom(*a, **k):
+        raise AssertionError("fused mesh path fell back to the two-call path")
+
+    engine.inferencer.get_query_embeddings = boom
+    engine.index.search = boom
+    results = engine._dense_batch([{"query": q, "fanout": 10} for q in queries])
+    for i, (scores, ids) in enumerate(results):
+        np.testing.assert_allclose(scores, ref_scores[i], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(ids, ref_ids[i])
+
+    out = engine.search("t0w1 t0w2", alpha=0.7, top_k=5)
+    assert len(out["results"]) == 5
+
+
+def test_fused_path_disabled_on_sharded_ivf(artifacts_dir):
+    """Sharded-IVF serving keeps the two-call structure (its probe routing
+    is its own pre-compiled program); traced_args() must say so."""
+    import jax as _jax
+
+    from twotowermlretrieval_tpu.parallel.mesh import resolve_mesh
+    from twotowermlretrieval_tpu.serve.engine import SearchEngine
+
+    mesh = resolve_mesh(len(_jax.devices()), 1)
+    engine = SearchEngine(artifacts_dir, mesh=mesh, warmup=False,
+                          index_type="ivf", nprobe=8)
     assert engine._corpus_args is None
     out = engine.search("t0w1 t0w2", alpha=0.7, top_k=5)
     assert len(out["results"]) == 5

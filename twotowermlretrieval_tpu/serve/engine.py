@@ -246,8 +246,9 @@ class SearchEngine:
                       "(corpus/backend signature mismatch) — serving with "
                       "defaults; re-run with --autotune-retrieval to refresh")
         # Fused single-dispatch path: resolved AFTER autotune so the traced
-        # kernel variant is the one autotune settled on. None on mesh paths
-        # (their searches are pre-compiled shard_map programs) — those keep
+        # kernel variant is the one autotune settled on. Mesh exact paths
+        # fuse too (the shard_map per-shard scan + cross-shard merge traces
+        # into the same executable as the encode); only sharded-IVF keeps
         # the two-call structure with a host-side embedding handoff.
         self._corpus_args = self.index.traced_args()
         # Serving-side profiler window (the training driver's --profile_dir

@@ -262,13 +262,20 @@ class RetrievalIndex:
     # -- single-dispatch serving support ---------------------------------
     def traced_args(self) -> Optional[tuple]:
         """The device-resident corpus as an explicit argument tuple for
-        ``traced_search``, or None when the search is not single-device
-        traceable (mesh paths go through their own shard_map programs).
+        ``traced_search``, or None when the search is not traceable inside
+        the engine's fused executable (the sharded-IVF path, whose probe
+        routing is its own pre-compiled program).
+
+        Mesh exact paths return the SHARDED arrays: their NamedShardings
+        ride into the enclosing jit, whose traced shard_map (parallel/
+        topk.mapped_topk*) consumes them in place — encode, per-shard
+        search and cross-shard merge become one executable (VERDICT r3
+        #1 for pod serving).
 
         Explicit args matter for the enclosing jit (serve/engine.py's
         fused encode+search executable): closing over a corpus-sized
         array would bake 100s of MB into the serialized program."""
-        if self.mesh is not None or self.ivf_sharded is not None:
+        if self.ivf_sharded is not None:
             return None
         if self.ivf is not None:
             return (self.ivf,)
@@ -284,6 +291,8 @@ class RetrievalIndex:
         attributes resolved at trace time, so the engine builds its fused
         executable AFTER ``autotune()`` has settled them."""
         k = min(k, self.num_docs)
+        if self.mesh is not None:
+            return self._traced_search_mesh(qj, corpus_args, k)
         if self.ivf is not None:
             from twotowermlretrieval_tpu.ops.ivf import ivf_search
 
@@ -313,6 +322,46 @@ class RetrievalIndex:
                 sort_candidates=self.sort_candidates,
             )
         return topk_segmented(qj, docs, k=k, n_valid=self._n_valid)
+
+    def _traced_search_mesh(self, qj, corpus_args: tuple, k: int):
+        """Mesh twin of ``traced_search``: the same shard_map bodies the
+        two-call path jits (parallel/topk), traced HERE inside the engine's
+        enclosing fused jit — per-shard scan + O(shards*k) merge compile
+        into the one serving executable. The shard_map closure is rebuilt
+        per call, which is free on the serving path: the engine's fused
+        executable traces once per (bucket, fanout) and caches."""
+        import jax.numpy as _jnp
+
+        from twotowermlretrieval_tpu.parallel.mesh import DATA_AXIS
+        from twotowermlretrieval_tpu.parallel.topk import (
+            mapped_topk,
+            mapped_topk_s8,
+        )
+
+        num_shards = self.mesh.shape[DATA_AXIS]
+        if self.quantized:
+            docs, scales = corpus_args
+            use_pallas = (
+                self.use_pallas
+                if self.use_pallas is not None
+                else jax.default_backend() == "tpu"
+            )
+            body = mapped_topk_s8(
+                self.mesh, k, bool(use_pallas), self.interpret,
+                phase2=self.phase2, sort_candidates=self.sort_candidates,
+            )
+            return body(qj, docs, scales, _jnp.int32(self._n_valid))
+        (docs,) = corpus_args
+        qj = qj.astype(docs.dtype)
+        shard_rows = docs.shape[0] // num_shards
+        use_pallas = use_streaming_kernel(
+            qj.shape[0], shard_rows, self.use_pallas
+        )
+        body = mapped_topk(
+            self.mesh, k, use_pallas, self.interpret, quantized=False,
+            phase2=self.phase2, sort_candidates=self.sort_candidates,
+        )
+        return body(qj, docs, _jnp.int32(self._n_valid))
 
     def tuning_signature(self) -> dict:
         """What the persisted tuning decision is valid FOR: same corpus
