@@ -177,6 +177,33 @@ def test_split_plan_matches_combined(gru_case):
     np.testing.assert_allclose(np.asarray(db_s), np.asarray(db_ref), rtol=1e-4, atol=1e-4)
 
 
+def test_hoisted_matches_combined(gru_case):
+    """The HOISTED combined-direction backward (one program, dw moved to
+    one XLA matmul — round-5 measurement knob TTMR_RNN_BWD_PLAN=hoisted)
+    must reproduce the combined kernel to matmul reassociation tolerance
+    (its dh chain contracts dhp (x) w directly instead of via the
+    materialized transposed copy, so the accumulated dh stream differs
+    at f32 rounding level)."""
+    from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_bwd_hoisted
+
+    cell, xps, mask2, w_hh, b_hh, cts, ct_fin = gru_case
+    outs_ref, c_ref, _ = rnn_layer_fwd(
+        cell, xps, mask2, w_hh, b_hh, compute_dtype="float32", interpret=True
+    )
+    dx_ref, dw_ref, db_ref = rnn_layer_bwd(
+        cell, xps, mask2, w_hh, b_hh, outs_ref, c_ref, cts, ct_fin,
+        compute_dtype="float32", interpret=True,
+    )
+    dx_h, dw_h, db_h = rnn_layer_bwd_hoisted(
+        cell, xps, mask2, w_hh, b_hh, outs_ref, c_ref, cts, ct_fin,
+        compute_dtype="float32", interpret=True,
+    )
+    for a, b in zip(dx_h, dx_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_h), np.asarray(dw_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db_h), np.asarray(db_ref), rtol=1e-4, atol=1e-4)
+
+
 def test_plan_fused_covers_wide_towers():
     """plan selection: reference shapes ride the combined program; H=1024
     (whose resident weights + grad scratch exceed scoped VMEM) gets the

@@ -347,12 +347,25 @@ def _scan_layer_bwd(rnn_type, compute_dtype, residuals, cotangents):
     douts, d_hfinal = cotangents
     plan = _fused_plan(xps[0], w_hh, compute_dtype)
     if plan == "fused":
-        from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_bwd
-
-        dxps, dw_hh, db_hh = rnn_layer_bwd(
-            rnn_type, xps, mask2, w_hh, b_hh, outs, c_hist, douts, d_hfinal,
-            compute_dtype=compute_dtype,
+        from twotowermlretrieval_tpu.ops.rnn_scan import (
+            rnn_layer_bwd,
+            rnn_layer_bwd_hoisted,
         )
+
+        # TTMR_RNN_BWD_PLAN=hoisted swaps the combined backward for the
+        # hoisted-dw variant (2 instead of 3 MXU matmuls per step, weight
+        # gradient as one XLA matmul outside) — a measurement knob; the
+        # default stays the measured winner (docs/RESULTS.md round 5).
+        if os.environ.get("TTMR_RNN_BWD_PLAN") == "hoisted":
+            dxps, dw_hh, db_hh = rnn_layer_bwd_hoisted(
+                rnn_type, xps, mask2, w_hh, b_hh, outs, c_hist, douts, d_hfinal,
+                compute_dtype=compute_dtype,
+            )
+        else:
+            dxps, dw_hh, db_hh = rnn_layer_bwd(
+                rnn_type, xps, mask2, w_hh, b_hh, outs, c_hist, douts, d_hfinal,
+                compute_dtype=compute_dtype,
+            )
         return dxps, jnp.zeros_like(mask2), dw_hh, db_hh
     if plan == "split":
         from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_bwd_split_full

@@ -150,6 +150,25 @@ def pick_b_block(B: int, H: int = 256, GH: int = 768, D: int = 2, cdt_bytes: int
     return 0
 
 
+def _bwd_hoisted_vmem_bytes(BB: int, H: int, GH: int, D: int, cdt_bytes: int) -> int:
+    """Footprint of the combined-direction HOISTED backward kernel: like
+    the combined kernel but with no [D, H, GH] f32 gradient scratch and no
+    transposed-weight copy, plus one extra GH-wide output block per
+    direction (the emitted dhp stream)."""
+    weights = 2 * D * H * GH * cdt_bytes  # w_hh (double-buffered)
+    blocks = 2 * D * BB * (3 * GH * cdt_bytes + 3 * H * 4)  # xp/dxp/dhp + h views
+    scratch = 2 * D * BB * H * 4  # dh (+ dc)
+    return weights + blocks + scratch
+
+
+def pick_b_block_hoisted(B: int, H: int, GH: int, D: int, cdt_bytes: int = 2) -> int:
+    """Row block for the combined-direction hoisted-dw plan, or 0."""
+    for bb in _candidate_blocks(B):
+        if _bwd_hoisted_vmem_bytes(bb, H, GH, D, cdt_bytes) <= _VMEM_BUDGET:
+            return bb
+    return 0
+
+
 def pick_b_block_split(B: int, H: int, GH: int, cdt_bytes: int = 2) -> int:
     """Row block for the per-direction SPLIT plan, or 0 (judged against
     the raised _SPLIT_VMEM_MB ceiling its programs compile under)."""
@@ -726,6 +745,30 @@ def rnn_layer_bwd_split(
     return dxp, dhp
 
 
+def _hoisted_weight_grad(out: jax.Array, dhp: jax.Array, direction: int, cdt):
+    """(dw [H, G*H] f32, db [G*H] f32) for one direction from its emitted
+    recurrent pre-activation cotangent stream: dw = sum_t h_prev(t)^T dhp(t)
+    as ONE [H, T*B] x [T*B, G*H] MXU matmul. h_prev in original time order
+    is the saved output shifted by the direction's processing order, and
+    masked steps contribute zero (their gate cotangents are zero inside
+    the kernel)."""
+    H = out.shape[-1]
+    if direction == 0:
+        h_prev = jnp.concatenate([jnp.zeros_like(out[:1]), out[:-1]], axis=0)
+    else:
+        h_prev = jnp.concatenate([out[1:], jnp.zeros_like(out[:1])], axis=0)
+    dhp2 = dhp.reshape(-1, dhp.shape[-1])
+    hp2 = h_prev.reshape(-1, H)
+    dw = jax.lax.dot_general(
+        hp2.astype(cdt), dhp2,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(cdt),
+    )
+    db = jnp.sum(dhp2.astype(jnp.float32), axis=0)
+    return dw, db
+
+
 def rnn_layer_bwd_split_full(
     cell: str,
     xps: Sequence[jax.Array],
@@ -740,16 +783,10 @@ def rnn_layer_bwd_split_full(
     interpret: bool = False,
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array]:
     """The whole SPLIT-plan backward: per-direction kernel calls + the
-    hoisted weight/bias gradients. Drop-in equivalent of rnn_layer_bwd
-    for shapes whose combined program exceeds scoped VMEM (H=1024+).
-
-    dw[d] = sum_t h_prev(t)^T dhp(t) as ONE [H, T*B] x [T*B, G*H] MXU
-    matmul per direction; h_prev in original time order is the saved
-    output shifted by the direction's processing order, and masked steps
-    contribute zero (their gate cotangents are zero inside the kernel).
-    """
+    hoisted weight/bias gradients (see _hoisted_weight_grad). Drop-in
+    equivalent of rnn_layer_bwd for shapes whose combined program exceeds
+    scoped VMEM (H=1024+)."""
     cdt = jnp.dtype(compute_dtype)
-    H = w_hh.shape[1]
     dxps, dws, dbs = [], [], []
     for d in range(len(xps)):
         dxp, dhp = rnn_layer_bwd_split(
@@ -758,24 +795,154 @@ def rnn_layer_bwd_split_full(
             d_hfinal[d : d + 1], direction=d, compute_dtype=compute_dtype,
             interpret=interpret, vmem_limit_mb=_SPLIT_VMEM_MB,
         )
-        if d == 0:
-            h_prev = jnp.concatenate(
-                [jnp.zeros_like(outs[d][:1]), outs[d][:-1]], axis=0
-            )
-        else:
-            h_prev = jnp.concatenate(
-                [outs[d][1:], jnp.zeros_like(outs[d][:1])], axis=0
-            )
-        dhp2 = dhp.reshape(-1, dhp.shape[-1])
-        hp2 = h_prev.reshape(-1, H)
-        dws.append(
-            jax.lax.dot_general(
-                hp2.astype(cdt), dhp2,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=matmul_precision(cdt),
-            )
-        )
-        dbs.append(jnp.sum(dhp2.astype(jnp.float32), axis=0))
+        dw, db = _hoisted_weight_grad(outs[d], dhp, d, cdt)
+        dws.append(dw)
+        dbs.append(db)
         dxps.append(dxp.astype(xps[d].dtype))
     return tuple(dxps), jnp.stack(dws), jnp.stack(dbs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cell", "compute_dtype", "interpret", "b_block")
+)
+def _bwd_hoisted_call(
+    cell: str,
+    xps: Sequence[jax.Array],  # per-direction [T, B, G*H] f32
+    mask: jax.Array,  # [T, B] f32
+    w_hh: jax.Array,  # [D, H, G*H] f32
+    b_hh: jax.Array,  # [D, G*H] f32
+    outs: Sequence[jax.Array],  # per-direction [T, B, H] f32
+    c_hist: Sequence[jax.Array],  # per-direction [T, B, H] (LSTM) or ()
+    douts: Sequence[jax.Array],  # per-direction [T, B, H] f32
+    d_hfinal: jax.Array,  # [D, B, H] f32
+    compute_dtype: str = "bfloat16",
+    interpret: bool = False,
+    b_block: int = 0,
+):
+    """Both directions in ONE program with the weight gradient HOISTED
+    (the `split=True` kernel body at n_dir=D): per timestep each direction
+    issues only the gate-recompute matmul and the dh-chain contraction —
+    the third per-step MXU matmul (`_outer_acc`) and its [D, H, G*H] f32
+    scratch and transposed-weight copy are gone, traded for one streamed
+    [T, B, G*H] dhp tensor per direction and one big XLA matmul outside.
+
+    Returns (dxps, dhps) per direction in the compute dtype."""
+    D = len(xps)
+    T, B, GH = xps[0].shape
+    H = GH // _GATES[cell]
+    cdt = jnp.dtype(compute_dtype)
+    lstm = cell == "LSTM"
+    rnn = cell == "RNN"
+    gru = cell == "GRU"
+    mask3 = mask[:, None, :]
+
+    BB = b_block or pick_b_block_hoisted(B, H, GH, D, cdt.itemsize)
+    if not BB or B % BB:
+        raise ValueError(f"no valid hoisted B block for B={B}")
+    nb = B // BB
+
+    extra_in_specs = []
+    extra_inputs = []
+    if lstm:
+        extra_in_specs += [
+            pl.BlockSpec((1, BB, H), _bwd_prev_tmap(d, T), memory_space=pltpu.VMEM)
+            for d in range(D)
+        ]
+        extra_inputs += list(c_hist)
+    if rnn:
+        extra_in_specs += [
+            pl.BlockSpec((1, BB, H), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+            for d in range(D)
+        ]
+        extra_inputs += list(outs)
+
+    scratch_shapes = [pltpu.VMEM((D, BB, H), jnp.float32)]
+    if lstm:
+        scratch_shapes.append(pltpu.VMEM((D, BB, H), jnp.float32))
+
+    n_outs = 2 * D if gru else D
+    results = pl.pallas_call(
+        functools.partial(_bwd_kernel, cell=cell, n_dir=D, cdt=cdt, split=True),
+        grid=(nb, T),
+        in_specs=[
+            *[
+                pl.BlockSpec((1, BB, GH), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
+            *[
+                pl.BlockSpec((1, 1, BB), _bwd_tmap(d, T, mask=True), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
+            *[
+                pl.BlockSpec((1, BB, H), _bwd_prev_tmap(d, T), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
+            *extra_in_specs,
+            *[
+                pl.BlockSpec((1, BB, H), _bwd_tmap(d, T), memory_space=pltpu.VMEM)
+                for d in range(D)
+            ],
+            pl.BlockSpec((D, H, GH), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, GH), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, BB, H), lambda b, j: (0, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # dxp_0..dxp_{D-1}, then (GRU) dhp_0..dhp_{D-1}
+            *[
+                pl.BlockSpec((1, BB, GH), _bwd_tmap(k % D, T), memory_space=pltpu.VMEM)
+                for k in range(n_outs)
+            ],
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, B, GH), cdt) for _ in range(n_outs)],
+        scratch_shapes=scratch_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * D * B * H * GH,
+            bytes_accessed=3 * D * T * B * GH * cdt.itemsize + 2 * D * T * B * H * 4,
+            transcendentals=3 * T * D * B * H,
+        ),
+        interpret=interpret,
+    )(
+        *[xp.astype(cdt) for xp in xps],
+        *[mask3] * D,
+        *outs,
+        *extra_inputs,
+        *douts,
+        w_hh.astype(cdt),
+        b_hh,
+        d_hfinal,
+    )
+    dxps = tuple(results[:D])
+    dhps = tuple(results[D : 2 * D]) if gru else dxps
+    return dxps, dhps
+
+
+def rnn_layer_bwd_hoisted(
+    cell: str,
+    xps: Sequence[jax.Array],
+    mask: jax.Array,
+    w_hh: jax.Array,  # [D, H, G*H]
+    b_hh: jax.Array,  # [D, G*H]
+    outs: Sequence[jax.Array],
+    c_hist: Sequence[jax.Array],
+    douts: Sequence[jax.Array],
+    d_hfinal: jax.Array,  # [D, B, H]
+    compute_dtype: str = "bfloat16",
+    interpret: bool = False,
+) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array]:
+    """Drop-in equivalent of rnn_layer_bwd: one combined-direction program
+    with hoisted weight gradients (see _bwd_hoisted_call)."""
+    cdt = jnp.dtype(compute_dtype)
+    dxps, dhps = _bwd_hoisted_call(
+        cell, tuple(xps), mask, w_hh, b_hh, tuple(outs), tuple(c_hist),
+        tuple(douts), d_hfinal, compute_dtype=compute_dtype, interpret=interpret,
+    )
+    dws, dbs = [], []
+    for d in range(len(xps)):
+        dw, db = _hoisted_weight_grad(outs[d], dhps[d], d, cdt)
+        dws.append(dw)
+        dbs.append(db)
+    return (
+        tuple(dxp.astype(xps[0].dtype) for dxp in dxps),
+        jnp.stack(dws),
+        jnp.stack(dbs),
+    )
