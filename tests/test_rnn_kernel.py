@@ -204,6 +204,39 @@ def test_hoisted_matches_combined(gru_case):
     np.testing.assert_allclose(np.asarray(db_h), np.asarray(db_ref), rtol=1e-4, atol=1e-4)
 
 
+def test_bf16_history_stays_in_bf16_error_envelope(gru_case):
+    """history_in_cdt=True (TTMR_RNN_HISTORY=cdt) stores the saved state
+    history in the compute dtype. The forward's carried state stays f32,
+    so h_final must be IDENTICAL to the f32-history bf16 run; gradients
+    may differ only at the same order as the bf16-compute error already
+    accepted vs the f32 reference."""
+    cell, xps, mask2, w_hh, b_hh, cts, ct_fin = gru_case
+
+    def run(cdt, hist):
+        outs, ch, fin = rnn_layer_fwd(
+            cell, xps, mask2, w_hh, b_hh, compute_dtype=cdt, interpret=True,
+            history_in_cdt=hist,
+        )
+        cts_in = tuple(c.astype(outs[0].dtype) for c in cts)
+        dx, dw, db = rnn_layer_bwd(
+            cell, xps, mask2, w_hh, b_hh, outs, ch, cts_in, ct_fin,
+            compute_dtype=cdt, interpret=True,
+        )
+        return outs, fin, dw, db
+
+    outs_h, fin_h, dw_h, db_h = run("bfloat16", True)
+    outs_f, fin_f, dw_f, db_f = run("bfloat16", False)
+    _, _, dw_32, db_32 = run("float32", False)
+
+    assert outs_h[0].dtype == jnp.bfloat16
+    assert outs_f[0].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(fin_h), np.asarray(fin_f))
+    # bf16-history error vs f32 truth bounded by ~2x the bf16-compute error
+    err_compute = np.abs(np.asarray(dw_f) - np.asarray(dw_32)).max()
+    err_hist = np.abs(np.asarray(dw_h) - np.asarray(dw_32)).max()
+    assert err_hist <= 2.0 * err_compute + 1e-6, (err_hist, err_compute)
+
+
 def test_plan_fused_covers_wide_towers():
     """plan selection: reference shapes ride the combined program; H=1024
     (whose resident weights + grad scratch exceed scoped VMEM) gets the

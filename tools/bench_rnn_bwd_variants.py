@@ -178,9 +178,87 @@ def bench_full_step(plan, B=64):
     )
 
 
+def bench_history(B=64):
+    """A/B the saved-history dtype (TTMR_RNN_HISTORY) INSIDE one process:
+    both variants are traced under their env setting, then their timed
+    windows alternate so relay drift hits both equally."""
+    import jax
+    import jax.numpy as jnp
+
+    from twotowermlretrieval_tpu.config import Config
+    from twotowermlretrieval_tpu.data.batching import Batch
+    from twotowermlretrieval_tpu.models.two_tower import TwoTowerSpec, init_two_tower
+    from twotowermlretrieval_tpu.train.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    VOCAB = 50_000
+    rng = np.random.default_rng(0)
+    table = (rng.standard_normal((VOCAB, 100)) * 0.1).astype(np.float32)
+    config = Config(
+        vocab_size=VOCAB, embed_dim=100, hidden_dim=H, num_layers=2,
+        bidirectional=True, dropout=0.2, batch_size=B, lr=5e-5, margin=0.5,
+        loss_type="triplet", max_query_len=32, max_doc_len=128,
+        compute_dtype="bfloat16", freeze_embeddings=True,
+    )
+    spec = TwoTowerSpec.from_config(config)
+
+    def toks(n, mx, mean):
+        L = np.clip(rng.normal(mean, mean / 3, n).astype(np.int32), 2, mx)
+        t = rng.integers(1, VOCAB, (n, mx)).astype(np.int32)
+        for i, l in enumerate(L):
+            t[i, l:] = 0
+        return jnp.asarray(t), jnp.asarray(L)
+
+    q, ql = toks(B, 32, 7)
+    p, pl = toks(B, 128, 60)
+    n, nl = toks(B, 128, 60)
+    batch = Batch(q, ql, p, pl, n, nl, jnp.ones((B,), jnp.float32))
+
+    variants = {}
+    for name, env in (("f32", None), ("cdt", "cdt")):
+        os.environ.pop("TTMR_RNN_HISTORY", None)
+        if env:
+            os.environ["TTMR_RNN_HISTORY"] = env
+        params = init_two_tower(jax.random.key(0), spec, pretrained_embeddings=table)
+        state = create_train_state(jax.random.key(1), params, config)
+        # no donation: both variants keep their state alive side by side
+        step_fn = jax.jit(make_train_step(spec, config))
+        state, m = step_fn(state, batch)  # trace under this env setting
+        np.asarray(m["loss"])
+        variants[name] = (step_fn, state)
+    os.environ.pop("TTMR_RNN_HISTORY", None)
+
+    def run(name, num):
+        step_fn, state = variants[name]
+        t0 = time.time()
+        m = None
+        for _ in range(num):
+            state, m = step_fn(state, batch)
+        np.asarray(m["loss"])
+        variants[name] = (step_fn, state)
+        return time.time() - t0
+
+    for name in variants:
+        run(name, 2)
+    per = {name: [] for name in variants}
+    base = {name: min(run(name, 5) for _ in range(3)) for name in variants}
+    for _ in range(7):  # alternate windows so drift hits both equally
+        for name in variants:
+            per[name].append(max(run(name, 45) - base[name], 1e-9) / 40)
+    for name, ts in per.items():
+        med = float(np.median(ts))
+        log(
+            f"history={name} [B={B}]: {med*1e3:.3f} ms/step ({B/med:.0f} ex/s; "
+            + ", ".join(f"{t*1e3:.2f}" for t in ts)
+            + ")"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["kernels", "step"], default="kernels")
+    ap.add_argument("--mode", choices=["kernels", "step", "history"], default="kernels")
     ap.add_argument("--cell", default="GRU")
     ap.add_argument("--plan", default="combined")
     ap.add_argument("--batch", type=int, default=64)
@@ -193,6 +271,8 @@ def main():
         sys.exit(2)
     if args.mode == "kernels":
         bench_kernels(args.cell)
+    elif args.mode == "history":
+        bench_history(args.batch)
     else:
         bench_full_step(args.plan, args.batch)
 

@@ -277,11 +277,16 @@ def _scan_layer(
 
 def _scan_layer_fwd_impl(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
     plan = _fused_plan(xps[0], w_hh, compute_dtype)
+    # TTMR_RNN_HISTORY=cdt stores the saved state history (the tensors the
+    # backward re-reads) in the compute dtype instead of f32 — a
+    # measurement knob like TTMR_RNN_BWD_PLAN (docs/RESULTS.md round 5)
+    hist = os.environ.get("TTMR_RNN_HISTORY") == "cdt"
     if plan == "fused":
         from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_fwd
 
         outs, c_hist, h_final = rnn_layer_fwd(
-            rnn_type, xps, mask2, w_hh, b_hh, compute_dtype=compute_dtype
+            rnn_type, xps, mask2, w_hh, b_hh, compute_dtype=compute_dtype,
+            history_in_cdt=hist,
         )
         return outs, c_hist, h_final
     if plan == "split":
@@ -294,7 +299,7 @@ def _scan_layer_fwd_impl(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
             o, ch, hf = rnn_layer_fwd(
                 rnn_type, (xps[d],), mask2, w_hh[d : d + 1], b_hh[d : d + 1],
                 compute_dtype=compute_dtype, directions=(d,),
-                vmem_limit_mb=_SPLIT_VMEM_MB,
+                vmem_limit_mb=_SPLIT_VMEM_MB, history_in_cdt=hist,
             )
             outs.append(o[0])
             if ch:

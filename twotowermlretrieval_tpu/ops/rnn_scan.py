@@ -211,7 +211,7 @@ def plan_fused(B: int, H: int, GH: int, D: int, cdt_bytes: int = 2) -> Optional[
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(*refs, cell: str, n_dir: int, cdt):
+def _fwd_kernel(*refs, cell: str, n_dir: int, cdt, hist_dtype=jnp.float32):
     # refs: xp_0..xp_{D-1}, m_0..m_{D-1}, w_hh, b_hh,
     #       out_0..out_{D-1}, [c_0..c_{D-1} if LSTM], h_final,
     #       h_scr, [c_scr if LSTM]
@@ -263,11 +263,11 @@ def _fwd_kernel(*refs, cell: str, n_dir: int, cdt):
             h_new = o_g * jnp.tanh(c_new)
             c = m * c_new + (1.0 - m) * c_prev
             c_scr[d] = c
-            c_refs[d][0] = c
+            c_refs[d][0] = c.astype(hist_dtype)
 
         h = m * h_new + (1.0 - m) * h_prev
         h_scr[d] = h
-        out_refs[d][0] = h
+        out_refs[d][0] = h.astype(hist_dtype)
 
     @pl.when(step == num_steps - 1)
     def _fin():
@@ -277,7 +277,7 @@ def _fwd_kernel(*refs, cell: str, n_dir: int, cdt):
 @functools.partial(
     jax.jit,
     static_argnames=("cell", "compute_dtype", "interpret", "b_block",
-                     "directions", "vmem_limit_mb"),
+                     "directions", "vmem_limit_mb", "history_in_cdt"),
 )
 def rnn_layer_fwd(
     cell: str,
@@ -294,18 +294,23 @@ def rnn_layer_fwd(
     directions: Optional[Tuple[int, ...]] = None,  # absolute direction per
     # entry of xps (default 0..D-1); the 'split' plan passes (1,) to run
     # the backward tower direction as its own one-direction program
+    history_in_cdt: bool = False,  # store the saved state HISTORY (outs,
+    # c_hist — the tensors the backward re-reads) in the compute dtype
+    # instead of f32, halving that HBM traffic in bf16; the carried state
+    # and h_final stay f32 (measurement knob TTMR_RNN_HISTORY=cdt)
 ):
     """Fused recurrent layer forward.
 
-    Returns (outs — per-direction [T, B, H] f32 in ORIGINAL time order,
-    c_hist — per-direction [T, B, H] f32 (LSTM) or () — and
-    h_final [D, B, H] f32)."""
+    Returns (outs — per-direction [T, B, H] in ORIGINAL time order (f32,
+    or the compute dtype under ``history_in_cdt``), c_hist — per-direction
+    [T, B, H] (LSTM) or () — and h_final [D, B, H] f32)."""
     D = len(xps)
     dirs = directions or tuple(range(D))
     T, B, GH = xps[0].shape
     H = GH // _GATES[cell]
     cdt = jnp.dtype(compute_dtype)
     lstm = cell == "LSTM"
+    hist_dtype = cdt if history_in_cdt else jnp.dtype(jnp.float32)
     mask3 = mask[:, None, :]  # [T, 1, B] so blocks are (1, 1, B)
 
     # Auto block selection: the combined-plan budget first; the split
@@ -327,7 +332,8 @@ def rnn_layer_fwd(
     nb = B // BB
     n_state_outs = 2 * D if lstm else D
     results = pl.pallas_call(
-        functools.partial(_fwd_kernel, cell=cell, n_dir=D, cdt=cdt),
+        functools.partial(_fwd_kernel, cell=cell, n_dir=D, cdt=cdt,
+                          hist_dtype=hist_dtype),
         grid=(nb, T),
         in_specs=[
             *[
@@ -351,7 +357,7 @@ def rnn_layer_fwd(
             pl.BlockSpec((D, BB, H), lambda b, i: (0, b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            *[jax.ShapeDtypeStruct((T, B, H), jnp.float32) for _ in range(n_state_outs)],
+            *[jax.ShapeDtypeStruct((T, B, H), hist_dtype) for _ in range(n_state_outs)],
             jax.ShapeDtypeStruct((D, B, H), jnp.float32),
         ],
         scratch_shapes=(
@@ -454,7 +460,9 @@ def _bwd_kernel(*refs, cell: str, n_dir: int, cdt, split: bool = False):
                 db_scr[:] = jnp.zeros_like(db_scr)
 
     for d in range(n_dir):  # static unroll
-        h_prev = jnp.where(is_first_pos, 0.0, hprev_refs[d][0])  # [B, H] f32
+        # history may be stored in the compute dtype (history_in_cdt);
+        # promote to f32 for the gate/elementwise math
+        h_prev = jnp.where(is_first_pos, 0.0, hprev_refs[d][0]).astype(jnp.float32)
         H = h_prev.shape[-1]
         xp = xp_refs[d][0].astype(jnp.float32)
         m = m_refs[d][0, 0][:, None]  # [B, 1]
@@ -476,7 +484,7 @@ def _bwd_kernel(*refs, cell: str, n_dir: int, cdt, split: bool = False):
             dhp = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
             dh_scr[d] = chain(dhp, d) + dh_new * z + dh_direct
         elif cell == "LSTM":
-            c_prev = jnp.where(is_first_pos, 0.0, cprev_refs[d][0])
+            c_prev = jnp.where(is_first_pos, 0.0, cprev_refs[d][0]).astype(jnp.float32)
             dc_t = dc_scr[d]
             dc_new = dc_t * m
             dc_direct = dc_t * (1.0 - m)
@@ -503,7 +511,7 @@ def _bwd_kernel(*refs, cell: str, n_dir: int, cdt, split: bool = False):
             dc_scr[d] = dc_new * f_g + dc_direct
             dh_scr[d] = chain(dhp, d) + dh_direct
         else:  # RNN: h_new == saved output wherever m==1; dh_new==0 elsewhere
-            h_t = hcur_refs[d][0]
+            h_t = hcur_refs[d][0].astype(jnp.float32)
             dxp = dhp = dh_new * (1.0 - h_t * h_t)
             dh_scr[d] = chain(dhp, d) + dh_direct
 
