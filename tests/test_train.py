@@ -107,6 +107,41 @@ def test_train_step_metrics_and_grad_clip(setup):
     assert max(jax.tree.leaves(delta)) < 0.2  # adam lr bound
 
 
+def test_triplet_metrics_off_skips_negative_encode(setup):
+    """TRIPLET_METRICS=false with a pure in-batch loss: the loss value and
+    the parameter update are IDENTICAL to the with-negative run (the
+    explicit negative never reaches the in-batch gradient), only the
+    neg-dependent metric keys disappear — and the doc tower encodes half
+    the rows."""
+    config, tokenizer, spec, params, datasets = setup
+    batch = next(iter(_batcher(config, tokenizer, datasets["train"]).batches(seed=0)))
+    dev = jax.tree.map(jnp.asarray, batch)
+
+    results = {}
+    for flag in (True, False):
+        cfg = config.replace(loss_type="in_batch", triplet_metrics=flag)
+        state = create_train_state(jax.random.key(1), params, cfg)
+        step_fn = jax.jit(make_train_step(spec, cfg))
+        new_state, metrics = step_fn(state, dev)
+        results[flag] = (new_state, metrics)
+
+    m_on, m_off = results[True][1], results[False][1]
+    np.testing.assert_allclose(
+        float(m_off["loss"]), float(m_on["loss"]), rtol=1e-6, atol=1e-7
+    )
+    for key in ("triplet_accuracy", "similarity_gap", "neg_similarity"):
+        assert key in m_on and key not in m_off
+    assert "pos_similarity" in m_off
+    # updates identical: the negative contributed nothing to the gradient
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        results[False][0].trainable,
+        results[True][0].trainable,
+    )
+
+
 def test_loss_decreases_and_model_learns(setup):
     config, tokenizer, spec, params, datasets = setup
     # copy: donation below would delete the module-scoped fixture's buffers

@@ -256,9 +256,87 @@ def bench_history(B=64):
         )
 
 
+def bench_transformer_negskip():
+    """BASELINE config 5 (configs/transformer_tp.json architecture, one
+    chip, B=512, in-batch loss, learned table): A/B TRIPLET_METRICS on/off.
+    With a pure in-batch loss the explicit negative only feeds the triplet
+    metric set; off skips its doc-tower forward ([B] instead of [2B] rows),
+    its dropout masks, and its embedding rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from twotowermlretrieval_tpu.config import Config
+    from twotowermlretrieval_tpu.data.batching import Batch
+    from twotowermlretrieval_tpu.models.two_tower import TwoTowerSpec, init_two_tower
+    from twotowermlretrieval_tpu.train.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    VOCAB, B = 400_000, 512
+    rng = np.random.default_rng(0)
+    base = Config(
+        vocab_size=VOCAB, embed_dim=100, hidden_dim=256, num_layers=6,
+        tower_type="transformer", num_heads=8, ffn_dim=1024, dropout=0.1,
+        batch_size=B, lr=1e-4, margin=0.5, loss_type="in_batch",
+        temperature=0.05, max_query_len=32, max_doc_len=128,
+        compute_dtype="bfloat16", freeze_embeddings=False,
+        residual_dtype="bfloat16",
+    )
+
+    def toks(n, mx, mean):
+        L = np.clip(rng.normal(mean, mean / 3, n).astype(np.int32), 2, mx)
+        t = rng.integers(1, VOCAB, (n, mx)).astype(np.int32)
+        for i, l in enumerate(L):
+            t[i, l:] = 0
+        return jnp.asarray(t), jnp.asarray(L)
+
+    q, ql = toks(B, 32, 7)
+    p, pl = toks(B, 128, 60)
+    n, nl = toks(B, 128, 60)
+    batch = Batch(q, ql, p, pl, n, nl, jnp.ones((B,), jnp.float32))
+
+    variants = {}
+    for name, flag in (("neg-encoded", True), ("neg-skipped", False)):
+        config = base.replace(triplet_metrics=flag)
+        spec = TwoTowerSpec.from_config(config)
+        params = init_two_tower(jax.random.key(0), spec)
+        state = create_train_state(jax.random.key(1), params, config)
+        step_fn = jax.jit(make_train_step(spec, config))
+        state, m = step_fn(state, batch)
+        np.asarray(m["loss"])
+        variants[name] = (step_fn, state)
+
+    def run(name, num):
+        step_fn, state = variants[name]
+        t0 = time.time()
+        m = None
+        for _ in range(num):
+            state, m = step_fn(state, batch)
+        np.asarray(m["loss"])
+        variants[name] = (step_fn, state)
+        return time.time() - t0
+
+    for name in variants:
+        run(name, 2)
+    per = {name: [] for name in variants}
+    base_t = {name: min(run(name, 2) for _ in range(3)) for name in variants}
+    for _ in range(5):
+        for name in variants:
+            per[name].append(max(run(name, 10) - base_t[name], 1e-9) / 8)
+    for name, ts in per.items():
+        med = float(np.median(ts))
+        log(
+            f"transformer B={B} [{name}]: {med*1e3:.2f} ms/step ({B/med:.0f} ex/s; "
+            + ", ".join(f"{t*1e3:.1f}" for t in ts)
+            + ")"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["kernels", "step", "history"], default="kernels")
+    ap.add_argument("--mode", choices=["kernels", "step", "history", "transformer"],
+                    default="kernels")
     ap.add_argument("--cell", default="GRU")
     ap.add_argument("--plan", default="combined")
     ap.add_argument("--batch", type=int, default=64)
@@ -273,6 +351,8 @@ def main():
         bench_kernels(args.cell)
     elif args.mode == "history":
         bench_history(args.batch)
+    elif args.mode == "transformer":
+        bench_transformer_negskip()
     else:
         bench_full_step(args.plan, args.batch)
 

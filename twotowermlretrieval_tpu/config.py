@@ -51,6 +51,7 @@ _KEY_TO_FIELD = {
     "TOWER_TYPE": "tower_type",
     "LOSS_TYPE": "loss_type",
     "TEMPERATURE": "temperature",
+    "TRIPLET_METRICS": "triplet_metrics",
     "MAX_QUERY_LEN": "max_query_len",
     "MAX_DOC_LEN": "max_doc_len",
     "LENGTH_BUCKETS": "length_buckets",
@@ -116,6 +117,14 @@ class Config:
     tower_type: str = "rnn"  # 'rnn' | 'transformer'
     loss_type: str = "triplet"  # 'triplet' | 'in_batch' | 'triplet+in_batch'
     temperature: float = 0.05  # softmax temperature for in-batch loss
+    # With a pure in-batch loss the explicit negative contributes NOTHING
+    # to the gradient (combined_loss never reads it; XLA dead-code
+    # eliminates its backward) — only the triplet metric set
+    # (neg_similarity, similarity_gap, triplet_accuracy) still consumes
+    # it. False skips the negative's doc-tower forward entirely (the doc
+    # tower encodes [B] instead of [2B] rows) and drops those metrics;
+    # ignored (negatives always encoded) when the loss itself needs them.
+    triplet_metrics: bool = True
     max_query_len: int = 32  # static shapes: queries are short (MS MARCO)
     max_doc_len: int = 128  # static shapes: passages truncated here
     length_buckets: Optional[List[int]] = None  # e.g. [32, 64, 128]

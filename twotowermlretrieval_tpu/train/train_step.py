@@ -179,18 +179,33 @@ def _forward_and_metrics(
     else:
         q_rng = d_rng = None
     q = encode_query(params, batch.q_tokens, batch.q_len, spec, train=train, dropout_rng=q_rng)
-    # One doc-tower call over [2B, T] (pos ++ neg): halves the scan count
-    # and doubles MXU row occupancy vs two separate encodes (the reference
-    # runs three sequential tower calls per step, backend/main.py:249-251).
     B = batch.pos_tokens.shape[0]
-    d_tokens = jnp.concatenate([batch.pos_tokens, batch.neg_tokens], axis=0)
-    d_len = jnp.concatenate([batch.pos_len, batch.neg_len], axis=0)
-    d = encode_document(params, d_tokens, d_len, spec, train=train, dropout_rng=d_rng)
-    p, n = d[:B], d[B:]
+    # With a pure in-batch loss the explicit negative never reaches the
+    # gradient (combined_loss ignores it; its backward is dead code) —
+    # only the triplet metric set reads it. TRIPLET_METRICS=false skips
+    # its forward too: the doc tower encodes [B] instead of [2B] rows.
+    need_neg = config.loss_type != "in_batch" or getattr(
+        config, "triplet_metrics", True
+    )
+    if need_neg:
+        # One doc-tower call over [2B, T] (pos ++ neg): halves the scan
+        # count and doubles MXU row occupancy vs two separate encodes (the
+        # reference runs three sequential tower calls per step,
+        # backend/main.py:249-251).
+        d_tokens = jnp.concatenate([batch.pos_tokens, batch.neg_tokens], axis=0)
+        d_len = jnp.concatenate([batch.pos_len, batch.neg_len], axis=0)
+        d = encode_document(params, d_tokens, d_len, spec, train=train, dropout_rng=d_rng)
+        p, n = d[:B], d[B:]
+    else:
+        p = encode_document(
+            params, batch.pos_tokens, batch.pos_len, spec, train=train, dropout_rng=d_rng
+        )
+        n = None
     w = batch.example_mask
 
     loss = combined_loss(
-        q, p, n, config.loss_type, config.margin, config.temperature, weights=w,
+        q, p, n if n is not None else p, config.loss_type, config.margin,
+        config.temperature, weights=w,
         axis_name=axis_name,
         gather_negatives=config.cross_device_negatives,
     )
@@ -198,16 +213,19 @@ def _forward_and_metrics(
     # trainer.py metric set (ref: backend/trainer.py:38-55), on-device;
     # globally normalized, so the later pmean is exact
     pos_sim = jnp.sum(q * p, axis=-1)
-    neg_sim = jnp.sum(q * n, axis=-1)
     metrics = {
         "loss": loss,
-        "triplet_accuracy": _weighted_mean((pos_sim > neg_sim).astype(jnp.float32), w, axis_name),
-        "similarity_gap": _weighted_mean(pos_sim - neg_sim, w, axis_name),
         "pos_similarity": _weighted_mean(pos_sim, w, axis_name),
-        "neg_similarity": _weighted_mean(neg_sim, w, axis_name),
         "query_magnitude": _weighted_mean(jnp.linalg.norm(q, axis=-1), w, axis_name),
         "doc_magnitude": _weighted_mean(jnp.linalg.norm(p, axis=-1), w, axis_name),
     }
+    if n is not None:
+        neg_sim = jnp.sum(q * n, axis=-1)
+        metrics["triplet_accuracy"] = _weighted_mean(
+            (pos_sim > neg_sim).astype(jnp.float32), w, axis_name
+        )
+        metrics["similarity_gap"] = _weighted_mean(pos_sim - neg_sim, w, axis_name)
+        metrics["neg_similarity"] = _weighted_mean(neg_sim, w, axis_name)
     return loss, metrics
 
 
