@@ -132,6 +132,9 @@ def test_triplet_metrics_off_skips_negative_encode(setup):
     for key in ("triplet_accuracy", "similarity_gap", "neg_similarity"):
         assert key in m_on and key not in m_off
     assert "pos_similarity" in m_off
+    # the in-batch top-1 accuracy replaces the dropped triplet signal
+    for m in (m_on, m_off):
+        assert 0.0 <= float(m["in_batch_accuracy"]) <= 1.0
     # updates identical: the negative contributed nothing to the gradient
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(

@@ -226,6 +226,17 @@ def _forward_and_metrics(
         )
         metrics["similarity_gap"] = _weighted_mean(pos_sim - neg_sim, w, axis_name)
         metrics["neg_similarity"] = _weighted_mean(neg_sim, w, axis_name)
+    if "in_batch" in config.loss_type:
+        # top-1 retrieval accuracy over the LOCAL in-batch similarity
+        # matrix (positive on the diagonal, the BatchEvaluator protocol,
+        # ref: evaluators.py:59-65) — one [B, B] matmul, so the in_batch
+        # configs keep a training-quality signal even with the triplet
+        # metric set off; padded columns are excluded like in the loss
+        logits = jnp.dot(q, p.T, preferred_element_type=jnp.float32)
+        col_ok = (w > 0)[None, :] | jnp.eye(B, dtype=bool)
+        logits = jnp.where(col_ok, logits, -jnp.inf)
+        hit = (jnp.argmax(logits, axis=-1) == jnp.arange(B)).astype(jnp.float32)
+        metrics["in_batch_accuracy"] = _weighted_mean(hit, w, axis_name)
     return loss, metrics
 
 
@@ -381,8 +392,16 @@ def make_eval_step(spec: TwoTowerSpec, config, axis_name: Optional[str] = None):
     def eval_step(state: TrainState, batch: Batch):
         params = merge_params(state.trainable, state.frozen)
         q = encode_query(params, batch.q_tokens, batch.q_len, spec)
-        p = encode_document(params, batch.pos_tokens, batch.pos_len, spec)
-        n = encode_document(params, batch.neg_tokens, batch.neg_len, spec)
+        # One [2B] doc-tower forward (no backward here, so unlike the
+        # in-batch train step there is no dead-gradient concern)
+        B = batch.pos_tokens.shape[0]
+        d = encode_document(
+            params,
+            jnp.concatenate([batch.pos_tokens, batch.neg_tokens], axis=0),
+            jnp.concatenate([batch.pos_len, batch.neg_len], axis=0),
+            spec,
+        )
+        p, n = d[:B], d[B:]
         # Validation loss uses the reference's triplet loss regardless of the
         # training loss (ref: evaluators.py:36-37); global weighted mean,
         # so the pmean of the axis-size-scaled value is exact
