@@ -116,20 +116,15 @@ def bench_kernels(cell):
         )
 
 
-def bench_full_step(plan, B=64):
-    os.environ.pop("TTMR_RNN_BWD_PLAN", None)
-    if plan != "combined":
-        os.environ["TTMR_RNN_BWD_PLAN"] = plan
+
+def _gru_config_and_batch(B):
+    """The headline bench setup (reference architecture, MS MARCO-like
+    length distribution) shared by the step/history modes."""
     import jax
     import jax.numpy as jnp
 
     from twotowermlretrieval_tpu.config import Config
     from twotowermlretrieval_tpu.data.batching import Batch
-    from twotowermlretrieval_tpu.models.two_tower import TwoTowerSpec, init_two_tower
-    from twotowermlretrieval_tpu.train.train_step import (
-        create_train_state,
-        make_train_step,
-    )
 
     VOCAB = 50_000
     rng = np.random.default_rng(0)
@@ -140,21 +135,50 @@ def bench_full_step(plan, B=64):
         loss_type="triplet", max_query_len=32, max_doc_len=128,
         compute_dtype="bfloat16", freeze_embeddings=True,
     )
+    batch = Batch(*_toks(rng, B, 32, 7, VOCAB), *_toks(rng, B, 128, 60, VOCAB),
+                  *_toks(rng, B, 128, 60, VOCAB), jnp.ones((B,), jnp.float32))
+    return config, table, batch
+
+
+def _toks(rng, n, mx, mean, vocab):
+    import jax.numpy as jnp
+
+    L = np.clip(rng.normal(mean, mean / 3, n).astype(np.int32), 2, mx)
+    t = rng.integers(1, vocab, (n, mx)).astype(np.int32)
+    for i, l in enumerate(L):
+        t[i, l:] = 0
+    return jnp.asarray(t), jnp.asarray(L)
+
+
+def _alternating_windows(variants, run, n_long, n_rounds=7):
+    """Timed windows alternating between variants so relay drift hits all
+    equally; returns {name: [per-step times]}."""
+    for name in variants:
+        run(name, 2)
+    base = {name: min(run(name, 5) for _ in range(3)) for name in variants}
+    per = {name: [] for name in variants}
+    for _ in range(n_rounds):
+        for name in variants:
+            per[name].append(max(run(name, n_long) - base[name], 1e-9) / (n_long - 5))
+    return per
+
+
+def bench_full_step(plan, B=64):
+    os.environ.pop("TTMR_RNN_BWD_PLAN", None)
+    if plan != "combined":
+        os.environ["TTMR_RNN_BWD_PLAN"] = plan
+    import jax
+
+    from twotowermlretrieval_tpu.models.two_tower import TwoTowerSpec, init_two_tower
+    from twotowermlretrieval_tpu.train.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    config, table, batch = _gru_config_and_batch(B)
     spec = TwoTowerSpec.from_config(config)
     params = init_two_tower(jax.random.key(0), spec, pretrained_embeddings=table)
     state = create_train_state(jax.random.key(1), params, config)
-
-    def toks(n, mx, mean):
-        L = np.clip(rng.normal(mean, mean / 3, n).astype(np.int32), 2, mx)
-        t = rng.integers(1, VOCAB, (n, mx)).astype(np.int32)
-        for i, l in enumerate(L):
-            t[i, l:] = 0
-        return jnp.asarray(t), jnp.asarray(L)
-
-    q, ql = toks(B, 32, 7)
-    p, pl = toks(B, 128, 60)
-    n, nl = toks(B, 128, 60)
-    batch = Batch(q, ql, p, pl, n, nl, jnp.ones((B,), jnp.float32))
     step_fn = jax.jit(make_train_step(spec, config), donate_argnums=(0,))
 
     def run(num):
@@ -183,38 +207,15 @@ def bench_history(B=64):
     both variants are traced under their env setting, then their timed
     windows alternate so relay drift hits both equally."""
     import jax
-    import jax.numpy as jnp
 
-    from twotowermlretrieval_tpu.config import Config
-    from twotowermlretrieval_tpu.data.batching import Batch
     from twotowermlretrieval_tpu.models.two_tower import TwoTowerSpec, init_two_tower
     from twotowermlretrieval_tpu.train.train_step import (
         create_train_state,
         make_train_step,
     )
 
-    VOCAB = 50_000
-    rng = np.random.default_rng(0)
-    table = (rng.standard_normal((VOCAB, 100)) * 0.1).astype(np.float32)
-    config = Config(
-        vocab_size=VOCAB, embed_dim=100, hidden_dim=H, num_layers=2,
-        bidirectional=True, dropout=0.2, batch_size=B, lr=5e-5, margin=0.5,
-        loss_type="triplet", max_query_len=32, max_doc_len=128,
-        compute_dtype="bfloat16", freeze_embeddings=True,
-    )
+    config, table, batch = _gru_config_and_batch(B)
     spec = TwoTowerSpec.from_config(config)
-
-    def toks(n, mx, mean):
-        L = np.clip(rng.normal(mean, mean / 3, n).astype(np.int32), 2, mx)
-        t = rng.integers(1, VOCAB, (n, mx)).astype(np.int32)
-        for i, l in enumerate(L):
-            t[i, l:] = 0
-        return jnp.asarray(t), jnp.asarray(L)
-
-    q, ql = toks(B, 32, 7)
-    p, pl = toks(B, 128, 60)
-    n, nl = toks(B, 128, 60)
-    batch = Batch(q, ql, p, pl, n, nl, jnp.ones((B,), jnp.float32))
 
     variants = {}
     for name, env in (("f32", None), ("cdt", "cdt")):
@@ -240,13 +241,7 @@ def bench_history(B=64):
         variants[name] = (step_fn, state)
         return time.time() - t0
 
-    for name in variants:
-        run(name, 2)
-    per = {name: [] for name in variants}
-    base = {name: min(run(name, 5) for _ in range(3)) for name in variants}
-    for _ in range(7):  # alternate windows so drift hits both equally
-        for name in variants:
-            per[name].append(max(run(name, 45) - base[name], 1e-9) / 40)
+    per = _alternating_windows(variants, run, n_long=45)
     for name, ts in per.items():
         med = float(np.median(ts))
         log(
@@ -317,13 +312,7 @@ def bench_transformer_negskip():
         variants[name] = (step_fn, state)
         return time.time() - t0
 
-    for name in variants:
-        run(name, 2)
-    per = {name: [] for name in variants}
-    base_t = {name: min(run(name, 2) for _ in range(3)) for name in variants}
-    for _ in range(5):
-        for name in variants:
-            per[name].append(max(run(name, 10) - base_t[name], 1e-9) / 8)
+    per = _alternating_windows(variants, run, n_long=10, n_rounds=5)
     for name, ts in per.items():
         med = float(np.median(ts))
         log(
@@ -338,7 +327,7 @@ def main():
     ap.add_argument("--mode", choices=["kernels", "step", "history", "transformer"],
                     default="kernels")
     ap.add_argument("--cell", default="GRU")
-    ap.add_argument("--plan", default="combined")
+    ap.add_argument("--plan", choices=["combined", "hoisted"], default="combined")
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     from twotowermlretrieval_tpu.hostprobe import probe_default_backend_verbose

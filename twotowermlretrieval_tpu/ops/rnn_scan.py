@@ -151,14 +151,12 @@ def pick_b_block(B: int, H: int = 256, GH: int = 768, D: int = 2, cdt_bytes: int
 
 
 def _bwd_hoisted_vmem_bytes(BB: int, H: int, GH: int, D: int, cdt_bytes: int) -> int:
-    """Footprint of the combined-direction HOISTED backward kernel: like
-    the combined kernel but with no [D, H, GH] f32 gradient scratch and no
-    transposed-weight copy, plus one extra GH-wide output block per
-    direction (the emitted dhp stream)."""
-    weights = 2 * D * H * GH * cdt_bytes  # w_hh (double-buffered)
-    blocks = 2 * D * BB * (3 * GH * cdt_bytes + 3 * H * 4)  # xp/dxp/dhp + h views
-    scratch = 2 * D * BB * H * 4  # dh (+ dc)
-    return weights + blocks + scratch
+    """Footprint of the combined-direction HOISTED backward kernel: no
+    [D, H, GH] f32 gradient scratch, no transposed-weight copy, one extra
+    GH-wide output block per direction (the emitted dhp stream) — i.e.
+    exactly D copies of the per-direction SPLIT kernel's footprint, so
+    calibration fixes to that estimate propagate here automatically."""
+    return D * _bwd_split_vmem_bytes(BB, H, GH, cdt_bytes)
 
 
 def pick_b_block_hoisted(B: int, H: int, GH: int, D: int, cdt_bytes: int = 2) -> int:
