@@ -62,18 +62,27 @@ def _batch(rng, B, L=8, vocab=64):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("loss_type", ["triplet", "triplet+in_batch"])
-def test_distributed_matches_single_device(loss_type):
+@pytest.mark.parametrize(
+    "loss_type,triplet_metrics",
+    [("triplet", True), ("triplet+in_batch", True), ("in_batch", False)],
+    ids=["triplet", "triplet+in_batch", "in_batch-negskip"],
+)
+def test_distributed_matches_single_device(loss_type, triplet_metrics):
     """Distributed loss AND pmean-reduced gradients must equal the
     single-device full-batch computation. (Post-Adam params are NOT directly
     comparable: Adam's first step is ~±lr*sign(g), so fp reduction-order
     noise on near-zero gradient components flips signs.)
 
     For the in-batch loss, equivalence requires gathering negatives across
-    chips (B_local -> B_global)."""
+    chips (B_local -> B_global). The in_batch-negskip case additionally
+    covers TRIPLET_METRICS=false (the negative's tower pass skipped)
+    under shard_map."""
     from twotowermlretrieval_tpu.train.train_step import _forward_and_metrics, partition_params
 
-    config = _config(loss_type=loss_type, cross_device_negatives=True, dropout=0.0)
+    config = _config(
+        loss_type=loss_type, cross_device_negatives=True, dropout=0.0,
+        triplet_metrics=triplet_metrics,
+    )
     spec = TwoTowerSpec.from_config(config)
     params = init_two_tower(jax.random.key(0), spec)
     batch = _batch(np.random.default_rng(0), config.batch_size)
