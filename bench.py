@@ -18,6 +18,7 @@ steps back-to-back and differences two run lengths to cancel the RTT.
 Secondary details (per-step times, retrieval latency) go to stderr.
 """
 
+import functools
 import json
 import sys
 import time
@@ -87,22 +88,36 @@ def bench_tpu(host_batch, table) -> float:
         jnp.asarray(q), jnp.asarray(ql), jnp.asarray(p), jnp.asarray(pl),
         jnp.asarray(n), jnp.asarray(nl), jnp.ones((BATCH,), jnp.float32),
     )
-    step_fn = jax.jit(make_train_step(spec, config), donate_argnums=(0,))
+    step_fn = make_train_step(spec, config)
+
+    # The steps of a window run as ONE dispatch (lax.scan over the step,
+    # exactly the production loop's STEPS_PER_DISPATCH grouping and this
+    # file's own retrieval-chain protocol). Round-5 necessity: the relay's
+    # PER-DISPATCH cost was observed degrading from <0.5 ms to 2-5 ms over
+    # a day, which made the old per-step-dispatch loop report 3.4-6.2
+    # ms/step while the device itself still ran the step in ~2.1 ms
+    # (scan-chained, stable 2.07-2.20 across the same degraded windows).
+    # The chain measures what a training run actually pays.
+    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+    def chain(state, n):
+        def body(s, _):
+            s2, metrics = step_fn(s, batch)
+            return s2, metrics["loss"]
+        s, losses = jax.lax.scan(body, state, None, length=n)
+        return s, losses[-1]
 
     def run(num_steps):
         nonlocal state
         t0 = time.time()
-        metrics = None
-        for _ in range(num_steps):
-            state, metrics = step_fn(state, batch)
-        np.asarray(metrics["loss"])  # one host fetch at the end
+        state, loss = chain(state, num_steps)
+        float(loss)  # one host fetch at the end
         return time.time() - t0
 
-    run(2)  # compile + warm
+    run(5); run(45)  # compile + warm both window lengths
     # >= 5 measurement windows (VERDICT r2 item 8): the relay adds +-10-15%
     # noise per window, so the headline reports the MEDIAN with min/max
     # spread instead of a single draw. Each window differences a 45-step
-    # and a 5-step run to cancel dispatch+RTT; the base is min-of-3.
+    # and a 5-step chain to cancel dispatch+RTT; the base is min-of-3.
     base = min(run(5) for _ in range(3))
     per_steps = [max(run(45) - base, 1e-9) / 40 for _ in range(5)]
     per_step = float(np.median(per_steps))
