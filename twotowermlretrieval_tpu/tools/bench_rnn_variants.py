@@ -146,11 +146,31 @@ def _toks(rng, n, mx, mean, vocab):
     return jnp.asarray(t), jnp.asarray(L)
 
 
+
+def _make_chain(step_fn, batch):
+    """jitted (state, n) -> (state, last_loss): n train steps as ONE
+    dispatch (lax.scan over the step), immune to relay per-dispatch cost
+    degradation — same protocol as bench.py's training windows."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+    def chain(state, n):
+        def body(s, _):
+            s2, m = step_fn(s, batch)
+            return s2, m["loss"]
+        s, losses = jax.lax.scan(body, state, None, length=n)
+        return s, losses[-1]
+
+    return chain
+
+
 def _alternating_windows(variants, run, n_long, n_rounds=7):
     """Timed windows alternating between variants so relay drift hits all
     equally; returns {name: [per-step times]}."""
     for name in variants:
-        run(name, 2)
+        run(name, 5)
+        run(name, n_long)  # compile both window lengths before timing
     base = {name: min(run(name, 5) for _ in range(3)) for name in variants}
     per = {name: [] for name in variants}
     for _ in range(n_rounds):
@@ -175,19 +195,17 @@ def bench_full_step(plan, B=64):
     spec = TwoTowerSpec.from_config(config)
     params = init_two_tower(jax.random.key(0), spec, pretrained_embeddings=table)
     state = create_train_state(jax.random.key(1), params, config)
-    step_fn = jax.jit(make_train_step(spec, config), donate_argnums=(0,))
+    chain = _make_chain(make_train_step(spec, config), batch)
 
     def run(num):
         nonlocal state
         t0 = time.time()
-        m = None
-        for _ in range(num):
-            state, m = step_fn(state, batch)
-        np.asarray(m["loss"])
+        state, loss = chain(state, num)
+        float(loss)
         return time.time() - t0
 
     n_long = max(45, int(0.1 / 2.2e-3 * 64 / B) + 5)  # ~>=100ms of work
-    run(2)
+    run(5); run(n_long)  # compile both window lengths
     base = min(run(5) for _ in range(3))
     per = [max(run(n_long) - base, 1e-9) / (n_long - 5) for _ in range(5)]
     med = float(np.median(per))
@@ -220,21 +238,18 @@ def bench_history(B=64):
             os.environ["TTMR_RNN_HISTORY"] = env
         params = init_two_tower(jax.random.key(0), spec, pretrained_embeddings=table)
         state = create_train_state(jax.random.key(1), params, config)
-        # no donation: both variants keep their state alive side by side
-        step_fn = jax.jit(make_train_step(spec, config))
-        state, m = step_fn(state, batch)  # trace under this env setting
-        np.asarray(m["loss"])
-        variants[name] = (step_fn, state)
+        chain = _make_chain(make_train_step(spec, config), batch)
+        state, loss = chain(state, 1)  # trace under this env setting
+        float(loss)
+        variants[name] = (chain, state)
     os.environ.pop("TTMR_RNN_HISTORY", None)
 
     def run(name, num):
-        step_fn, state = variants[name]
+        chain, state = variants[name]
         t0 = time.time()
-        m = None
-        for _ in range(num):
-            state, m = step_fn(state, batch)
-        np.asarray(m["loss"])
-        variants[name] = (step_fn, state)
+        state, loss = chain(state, num)
+        float(loss)
+        variants[name] = (chain, state)
         return time.time() - t0
 
     per = _alternating_windows(variants, run, n_long=45)
@@ -292,19 +307,17 @@ def bench_negskip(tower="transformer", B=0):
         spec = TwoTowerSpec.from_config(config)
         params = init_two_tower(jax.random.key(0), spec, pretrained_embeddings=table)
         state = create_train_state(jax.random.key(1), params, config)
-        step_fn = jax.jit(make_train_step(spec, config))
-        state, m = step_fn(state, batch)
-        np.asarray(m["loss"])
-        variants[name] = (step_fn, state)
+        chain = _make_chain(make_train_step(spec, config), batch)
+        state, loss = chain(state, 1)
+        float(loss)
+        variants[name] = (chain, state)
 
     def run(name, num):
-        step_fn, state = variants[name]
+        chain, state = variants[name]
         t0 = time.time()
-        m = None
-        for _ in range(num):
-            state, m = step_fn(state, batch)
-        np.asarray(m["loss"])
-        variants[name] = (step_fn, state)
+        state, loss = chain(state, num)
+        float(loss)
+        variants[name] = (chain, state)
         return time.time() - t0
 
     n_long = 10 if tower == "transformer" else 15
