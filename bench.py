@@ -18,7 +18,6 @@ steps back-to-back and differences two run lengths to cancel the RTT.
 Secondary details (per-step times, retrieval latency) go to stderr.
 """
 
-import functools
 import json
 import sys
 import time
@@ -98,13 +97,9 @@ def bench_tpu(host_batch, table) -> float:
     # ms/step while the device itself still ran the step in ~2.1 ms
     # (scan-chained, stable 2.07-2.20 across the same degraded windows).
     # The chain measures what a training run actually pays.
-    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
-    def chain(state, n):
-        def body(s, _):
-            s2, metrics = step_fn(s, batch)
-            return s2, metrics["loss"]
-        s, losses = jax.lax.scan(body, state, None, length=n)
-        return s, losses[-1]
+    from twotowermlretrieval_tpu.tools.bench_rnn_variants import _make_chain
+
+    chain = _make_chain(step_fn, batch)
 
     def run(num_steps):
         nonlocal state

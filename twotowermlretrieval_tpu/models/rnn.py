@@ -277,10 +277,20 @@ def _scan_layer(
 
 def _scan_layer_fwd_impl(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
     plan = _fused_plan(xps[0], w_hh, compute_dtype)
-    # TTMR_RNN_HISTORY=cdt stores the saved state history (the tensors the
-    # backward re-reads) in the compute dtype instead of f32 — a
-    # measurement knob like TTMR_RNN_BWD_PLAN (docs/RESULTS.md round 5)
-    hist = os.environ.get("TTMR_RNN_HISTORY") == "cdt"
+    # Saved state history (the tensors the backward re-reads) is stored in
+    # the compute dtype when that is 16-bit: measured +6% step throughput
+    # at the reference shape once the timing protocol could resolve it
+    # (docs/RESULTS.md round 5), and the gradient error stays inside the
+    # bf16-compute envelope (tests/test_rnn_kernel.py). TTMR_RNN_HISTORY
+    # overrides: "f32" forces full-precision history, "cdt" forces the
+    # compact history even for f32 compute (a no-op there).
+    env = os.environ.get("TTMR_RNN_HISTORY")
+    if env == "cdt":
+        hist = True
+    elif env == "f32":
+        hist = False
+    else:
+        hist = jnp.dtype(compute_dtype).itemsize == 2
     if plan == "fused":
         from twotowermlretrieval_tpu.ops.rnn_scan import rnn_layer_fwd
 

@@ -216,6 +216,9 @@ def bench_full_step(plan, B=64):
     )
 
 
+_HISTORY_N_LONG = 45
+
+
 def bench_history(B=64):
     """A/B the saved-history dtype (TTMR_RNN_HISTORY) INSIDE one process:
     both variants are traced under their env setting, then their timed
@@ -239,8 +242,14 @@ def bench_history(B=64):
         params = init_two_tower(jax.random.key(0), spec, pretrained_embeddings=table)
         state = create_train_state(jax.random.key(1), params, config)
         chain = _make_chain(make_train_step(spec, config), batch)
-        state, loss = chain(state, 1)  # trace under this env setting
-        float(loss)
+        # chain is static in n, so EVERY window length that will be timed
+        # must compile HERE, while this variant's env setting is active —
+        # models/rnn.py reads TTMR_RNN_HISTORY at trace time, and a later
+        # retrace (after the pop below) would silently measure the default
+        # path for both variants
+        for n in (5, _HISTORY_N_LONG):
+            state, loss = chain(state, n)
+            float(loss)
         variants[name] = (chain, state)
     os.environ.pop("TTMR_RNN_HISTORY", None)
 
@@ -252,7 +261,7 @@ def bench_history(B=64):
         variants[name] = (chain, state)
         return time.time() - t0
 
-    per = _alternating_windows(variants, run, n_long=45)
+    per = _alternating_windows(variants, run, n_long=_HISTORY_N_LONG)
     for name, ts in per.items():
         med = float(np.median(ts))
         log(
@@ -283,7 +292,6 @@ def bench_negskip(tower="transformer", B=0):
     if tower == "transformer":
         B = B or 512
         VOCAB = 400_000
-        rng = np.random.default_rng(0)
         base = Config(
             vocab_size=VOCAB, embed_dim=100, hidden_dim=256, num_layers=6,
             tower_type="transformer", num_heads=8, ffn_dim=1024, dropout=0.1,
@@ -308,8 +316,6 @@ def bench_negskip(tower="transformer", B=0):
         params = init_two_tower(jax.random.key(0), spec, pretrained_embeddings=table)
         state = create_train_state(jax.random.key(1), params, config)
         chain = _make_chain(make_train_step(spec, config), batch)
-        state, loss = chain(state, 1)
-        float(loss)
         variants[name] = (chain, state)
 
     def run(name, num):
@@ -339,7 +345,9 @@ def main():
     ap.add_argument("--tower", choices=["transformer", "rnn"], default="transformer")
     ap.add_argument("--cell", default="GRU")
     ap.add_argument("--plan", choices=["combined", "hoisted"], default="combined")
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="0 = per-mode default (64 for step/history, "
+                         "512/1024 for negskip transformer/rnn)")
     args = ap.parse_args()
     from twotowermlretrieval_tpu.hostprobe import probe_default_backend_verbose
 
@@ -350,11 +358,11 @@ def main():
     if args.mode == "kernels":
         bench_kernels(args.cell)
     elif args.mode == "history":
-        bench_history(args.batch)
+        bench_history(args.batch or 64)
     elif args.mode in ("negskip", "transformer"):
-        bench_negskip(args.tower, 0)
+        bench_negskip(args.tower, args.batch)
     else:
-        bench_full_step(args.plan, args.batch)
+        bench_full_step(args.plan, args.batch or 64)
 
 
 if __name__ == "__main__":
