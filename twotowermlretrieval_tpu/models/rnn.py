@@ -285,10 +285,11 @@ def _scan_layer_fwd_impl(rnn_type, compute_dtype, xps, mask2, w_hh, b_hh):
     # overrides: "f32" forces full-precision history, "cdt" forces the
     # compact history even for f32 compute (a no-op there).
     env = os.environ.get("TTMR_RNN_HISTORY")
-    if env == "cdt":
-        hist = True
-    elif env == "f32":
-        hist = False
+    if env:
+        # any explicit setting other than "cdt" means full-precision
+        # history (the pre-round-5 semantics for this variable, so stale
+        # values can only ever select the conservative path)
+        hist = env == "cdt"
     else:
         hist = jnp.dtype(compute_dtype).itemsize == 2
     if plan == "fused":

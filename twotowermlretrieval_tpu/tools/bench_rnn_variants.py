@@ -235,10 +235,12 @@ def bench_history(B=64):
     spec = TwoTowerSpec.from_config(config)
 
     variants = {}
-    for name, env in (("f32", None), ("cdt", "cdt")):
+    # both arms set the env EXPLICITLY: with no env, models/rnn.py now
+    # defaults 16-bit compute to the compact history, so an unset "f32"
+    # arm would silently trace the cdt path and A/B cdt against cdt
+    for name, env in (("f32", "f32"), ("cdt", "cdt")):
         os.environ.pop("TTMR_RNN_HISTORY", None)
-        if env:
-            os.environ["TTMR_RNN_HISTORY"] = env
+        os.environ["TTMR_RNN_HISTORY"] = env
         params = init_two_tower(jax.random.key(0), spec, pretrained_embeddings=table)
         state = create_train_state(jax.random.key(1), params, config)
         chain = _make_chain(make_train_step(spec, config), batch)
