@@ -487,3 +487,24 @@ def test_resume_restarts_epoch_on_grouping_mismatch(setup, tmp_path, capsys):
                 resume=True, run_name="regroup")
     assert "restarting epoch 0 from batch 0" in capsys.readouterr().out
     assert np.isfinite(res["epochs"][-1]["avg_train_loss"])
+
+
+def test_shipped_config_files_parse_and_validate():
+    """Every configs/*.json in the repo must load into a valid Config and
+    build a TwoTowerSpec — catches key-name drift in the shipped example
+    configs (e.g. the round-5 TRIPLET_METRICS addition to
+    configs/transformer_tp.json)."""
+    import pathlib
+
+    from twotowermlretrieval_tpu.config import Config
+
+    cfg_dir = pathlib.Path(__file__).resolve().parent.parent / "configs"
+    files = sorted(cfg_dir.glob("*.json"))
+    assert files, f"no shipped configs found under {cfg_dir}"
+    for f in files:
+        cfg = Config.from_json(f)
+        spec = TwoTowerSpec.from_config(cfg)
+        assert spec is not None, f.name
+        if f.name == "transformer_tp.json":
+            assert cfg.tower_type == "transformer"
+            assert cfg.loss_type == "in_batch" and cfg.triplet_metrics is False
