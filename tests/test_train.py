@@ -145,6 +145,26 @@ def test_triplet_metrics_off_skips_negative_encode(setup):
     )
 
 
+def test_triplet_metrics_flag_ignored_when_loss_needs_negatives(setup):
+    """TRIPLET_METRICS=false must be a no-op for loss types that READ the
+    explicit negative ('triplet', 'triplet+in_batch'): the negative is
+    still encoded, the loss is unchanged, and the triplet metric set is
+    still reported — the flag only ever removes work that is provably
+    dead."""
+    config, tokenizer, spec, params, datasets = setup
+    batch = next(iter(_batcher(config, tokenizer, datasets["train"]).batches(seed=0)))
+    dev = jax.tree.map(jnp.asarray, batch)
+    for loss_type in ("triplet", "triplet+in_batch"):
+        losses = {}
+        for flag in (True, False):
+            cfg = config.replace(loss_type=loss_type, triplet_metrics=flag)
+            state = create_train_state(jax.random.key(1), params, cfg)
+            _, metrics = jax.jit(make_train_step(spec, cfg))(state, dev)
+            assert "neg_similarity" in metrics, (loss_type, flag)
+            losses[flag] = float(metrics["loss"])
+        assert losses[True] == losses[False], loss_type
+
+
 def test_loss_decreases_and_model_learns(setup):
     config, tokenizer, spec, params, datasets = setup
     # copy: donation below would delete the module-scoped fixture's buffers
